@@ -1,0 +1,133 @@
+"""Vectorized tokenizer + shingle hasher.
+
+Turns a batch of documents into per-document sets of 63-bit shingle hashes
+with **no per-row Python**: all docs in a batch are concatenated into one
+byte buffer; token boundaries, token hashes, w-gram shingle hashes and
+per-doc distinct sets are computed with numpy array ops whose Python-level
+loops run over *byte-length buckets* or *bit positions*, never over rows.
+
+Semantics mirror the reference's update path
+(`/root/reference/datasketches/src/thetafamily/theta/sketch.rs:128-130` →
+`common/hash_table.rs:135-140`): every item (here: a token w-gram) is hashed
+with a seeded 64-bit hash and kept as ``hash >> 1`` (63-bit, Java-compatible
+sign-safe form); hash value 0 is screened out (``hash_table.rs:160-163``).
+
+Tokenizer v1: maximal runs of ``[A-Za-z0-9_]`` bytes (ASCII identifier
+runs; multi-byte UTF-8 codepoints act as separators, which agrees with the
+regex ``[A-Za-z0-9_]+`` on codepoints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .xxhash import xxh64_slices, xxh64_u64_matrix
+
+# byte classes for tokenizer v1
+_TOKEN_BYTE = np.zeros(256, dtype=bool)
+for _lo, _hi in ((48, 58), (65, 91), (97, 123)):  # 0-9 A-Z a-z
+    _TOKEN_BYTE[_lo:_hi] = True
+_TOKEN_BYTE[95] = True  # _
+
+
+def concat_docs(texts) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate docs with a NUL separator (never a token byte).
+
+    Returns (flat uint8 buffer, (n+1,) int64 doc offsets into it).
+    """
+    bufs = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
+    np.cumsum([len(b) + 1 for b in bufs], out=offsets[1:])
+    data = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
+    return data, offsets
+
+
+def token_spans(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of maximal token-byte runs in a flat buffer."""
+    mask = _TOKEN_BYTE[buf]
+    prev = np.empty_like(mask)
+    prev[0] = False
+    prev[1:] = mask[:-1]
+    nxt = np.empty_like(mask)
+    nxt[-1] = False
+    nxt[:-1] = mask[1:]
+    starts = np.nonzero(mask & ~prev)[0]
+    ends = np.nonzero(mask & ~nxt)[0]
+    return starts, ends - starts + 1
+
+
+def token_hash_stream(texts, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Token hashes for a batch of docs.
+
+    Returns (token_hashes uint64, (n_docs+1,) int64 token offsets): doc i's
+    tokens are ``hashes[tok_off[i]:tok_off[i+1]]`` in document order.
+    """
+    buf, doc_offsets = concat_docs(texts)
+    starts, lengths = token_spans(buf)
+    hashes = xxh64_slices(buf, starts, lengths, seed)
+    # NUL separators guarantee no token spans a doc boundary
+    tok_doc = np.searchsorted(doc_offsets, starts, side="right") - 1
+    tok_off = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(tok_doc, minlength=len(texts)), out=tok_off[1:])
+    return hashes, tok_off
+
+
+def shingle_hashes(
+    texts, width: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct, sorted 63-bit w-gram shingle hashes per document.
+
+    Returns (values uint64 in [1, 2^63), (n_docs+1,) int64 offsets).
+    A doc with 0 < n_tokens < width contributes one shingle over its whole
+    token sequence; a doc with no tokens contributes none.
+    """
+    n_docs = len(texts)
+    tok_hashes, tok_off = token_hash_stream(texts, seed)
+    n_tok_per_doc = np.diff(tok_off)
+
+    shingle_vals = []
+    shingle_docs = []
+
+    # full-width shingles: sliding windows that do not cross doc boundaries
+    if len(tok_hashes) >= width:
+        win = np.lib.stride_tricks.sliding_window_view(tok_hashes, width)
+        # window starting at global token i stays in-doc iff i+width <= doc_end
+        starts_doc = np.searchsorted(tok_off, np.arange(len(win)), side="right") - 1
+        in_doc = np.arange(len(win)) + width <= tok_off[starts_doc + 1]
+        if in_doc.any():
+            rows = np.nonzero(in_doc)[0]
+            shingle_vals.append(xxh64_u64_matrix(win[rows], seed))
+            shingle_docs.append(starts_doc[rows])
+
+    # short docs: one shingle over the full token-hash sequence
+    short = np.nonzero((n_tok_per_doc > 0) & (n_tok_per_doc < width))[0]
+    if len(short):
+        tok_bytes = np.ascontiguousarray(tok_hashes.astype("<u8")).view(np.uint8)
+        shingle_vals.append(
+            xxh64_slices(
+                tok_bytes, tok_off[short] * 8, n_tok_per_doc[short] * 8, seed
+            )
+        )
+        shingle_docs.append(short)
+
+    if shingle_vals:
+        vals = np.concatenate(shingle_vals) >> np.uint64(1)  # 63-bit form
+        docs = np.concatenate(shingle_docs)
+        keep = vals != 0  # theta zero-hash screening (hash_table.rs:160-163)
+        vals, docs = vals[keep], docs[keep]
+    else:
+        vals = np.empty(0, dtype=np.uint64)
+        docs = np.empty(0, dtype=np.int64)
+
+    # distinct + sort per doc: lexsort by (doc, value), drop repeats
+    order = np.lexsort((vals, docs))
+    vals, docs = vals[order], docs[order]
+    if len(vals):
+        first = np.empty(len(vals), dtype=bool)
+        first[0] = True
+        first[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
+        vals, docs = vals[first], docs[first]
+
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(docs, minlength=n_docs), out=offsets[1:])
+    return vals, offsets
