@@ -1,0 +1,101 @@
+"""Stage 4 — connected components via alternating large-star / small-star.
+
+The two-phase DataFrame-join formulation of Kiveris et al., "Connected
+Components in MapReduce and Beyond" (SOCC'14): every iteration is a
+bounded number of shuffles on node ids, converges in O(log^2 n) rounds
+(2-4 rounds in practice for near-dup clusters, whose diameter is tiny),
+and never materializes a component in one task — so it survives clusters
+of any size, unlike collect-based CC.
+
+Node ids are content_sha strings: globally unique at any corpus scale
+(no 64-bit-collision risk at 10^12 files) and the component minimum is
+then exactly FIXTURES.md F4's cluster_id = min content_sha.
+
+Each iteration ends with a lineage cut (localCheckpoint, or parquet
+round-trip when a checkpoint dir is provided) — iterative plans otherwise
+grow Catalyst lineage exponentially. Convergence is detected by an
+order-insensitive fingerprint agg (count + bit-xor of pair hashes), one
+tiny job per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect strictly-larger neighbors of u to min(N(u) ∪ {u})."""
+    nbrs = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect all smaller-or-equal neighbors of u (and u) to the minimum."""
+    canon = edges.select(
+        F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    via_nbrs = (
+        canon.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return via_nbrs.unionByName(self_edge).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _cut_lineage(df: DataFrame, checkpoint_dir: str | None, tag: str) -> DataFrame:
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=True)
+    path = f"{checkpoint_dir}/cc_{tag}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def connected_components(
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """edges(src, dst) → assignments(node, component) with component = min id.
+
+    Deterministic: output depends only on the input edge *set*.
+    """
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    e = _cut_lineage(e, checkpoint_dir, "init")
+    prev = None
+    for it in range(max_iter):
+        e = _small_star(_large_star(e))
+        e = _cut_lineage(e, checkpoint_dir, f"iter{it % 2}")
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+    # converged state: every edge points a node at its component root
+    assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    roots = assign.select(F.col("component").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return assign.unionByName(roots).groupBy("node").agg(
+        F.min("component").alias("component")
+    )

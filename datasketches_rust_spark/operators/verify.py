@@ -1,0 +1,121 @@
+"""Stage 3 — Jaccard verification of candidate pairs.
+
+Computes the theta-sketch Jaccard estimate for every candidate pair from
+the k-min signatures alone (no second scan of file contents), replicating
+``/root/reference/datasketches/src/thetafamily/common/jaccard_similarity.rs
+:227-332``: combined theta = min of the pair's thetas, union capacity sized
+to |A|+|B| (so it never truncates for k-bounded signatures), estimate =
+|A∩B∩U| / |U|; exact whenever both sides are exact-mode sketches.
+
+Acceptance uses the *upper confidence bound* (est + slack·sigma, sigma =
+sqrt(J(1-J)/k)) when either side is an estimating sketch — the
+no-false-negatives mode of the reference's frequent-items thresholds
+(frequencies/sketch.rs:394-430, ErrorType::NoFalseNegatives) applied to
+the recall>=0.99 contract. Exact-mode pairs are thresholded exactly.
+
+The kernel is fully vectorized across a batch of pairs: all signature
+arrays are concatenated into one value vector with pair ids, one lexsort
+finds duplicate (pair, value) entries = per-pair intersection sizes. No
+per-pair Python beyond pointer-level ``np.concatenate``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import PipelineConfig
+
+VERIFIED_SCHEMA = "sha_a string, sha_b string, jaccard_est double, accepted boolean"
+
+
+def jaccard_batch(
+    kmv_a: list, theta_a: np.ndarray, kmv_b: list, theta_b: np.ndarray
+) -> np.ndarray:
+    """Vectorized pairwise theta-Jaccard for a batch of pairs."""
+    n = len(theta_a)
+    la = np.fromiter((len(x) for x in kmv_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in kmv_b), dtype=np.int64, count=n)
+    theta = np.minimum(theta_a, theta_b).astype(np.int64)
+
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+
+    vals = np.concatenate(
+        [np.concatenate(kmv_a) if la.sum() else np.empty(0, np.int64)]
+        + [np.concatenate(kmv_b) if lb.sum() else np.empty(0, np.int64)]
+    ).astype(np.int64)
+    pid = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
+
+    keep = vals < np.concatenate([np.repeat(theta, la), np.repeat(theta, lb)])
+    vals, pid = vals[keep], pid[keep]
+
+    order = np.lexsort((vals, pid))
+    vals, pid = vals[order], pid[order]
+    dup = np.zeros(len(vals), dtype=bool)
+    if len(vals) > 1:
+        dup[1:] = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+
+    inter = np.bincount(pid[dup], minlength=n).astype(np.float64)
+    total = np.bincount(pid, minlength=n).astype(np.float64)
+    union = total - inter
+    # both sides empty below theta → identical-empty shortcut: J = 1
+    # (jaccard_similarity.rs:323-332)
+    j = np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
+    return j
+
+
+def verify_pairs(
+    candidates: DataFrame, reps: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """candidates(sha_a, sha_b) → (sha_a, sha_b, jaccard_est, accepted)."""
+    sigs = reps.select("content_sha", "minhash_kmv", "theta64", "n_shingles")
+    joined = (
+        candidates.join(
+            sigs.select(
+                F.col("content_sha").alias("sha_a"),
+                F.col("minhash_kmv").alias("kmv_a"),
+                F.col("theta64").alias("theta_a"),
+                F.col("n_shingles").alias("n_a"),
+            ),
+            "sha_a",
+        )
+        .join(
+            sigs.select(
+                F.col("content_sha").alias("sha_b"),
+                F.col("minhash_kmv").alias("kmv_b"),
+                F.col("theta64").alias("theta_b"),
+                F.col("n_shingles").alias("n_b"),
+            ),
+            "sha_b",
+        )
+    )
+
+    threshold = cfg.jaccard_threshold
+    k = cfg.kmv_k
+    slack = 2.0  # NUM_STD_DEVS = 2.0, jaccard_similarity.rs:36
+    max_theta = (1 << 63) - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ta = pdf["theta_a"].to_numpy()
+            tb = pdf["theta_b"].to_numpy()
+            j = jaccard_batch(pdf["kmv_a"].tolist(), ta, pdf["kmv_b"].tolist(), tb)
+            estimating = (ta < max_theta) | (tb < max_theta)
+            sigma = np.sqrt(np.clip(j * (1.0 - j), 0.0, None) / k)
+            ub = np.where(estimating, j + slack * sigma, j)
+            yield pd.DataFrame(
+                {
+                    "sha_a": pdf["sha_a"],
+                    "sha_b": pdf["sha_b"],
+                    "jaccard_est": j,
+                    "accepted": ub >= threshold,
+                }
+            )
+
+    return joined.mapInPandas(run, schema=VERIFIED_SCHEMA)

@@ -1,0 +1,146 @@
+"""End-to-end dedup pipeline: signatures → LSH → verify → clusters.
+
+Mirrors the reference's map-then-merge contract at plan level: stage 1 is
+the per-partition "update" kernel (map-side only), stages 2-4 are the
+commutative merges (shuffle on content_sha / band keys), and every stage
+boundary is a serialized compact form (parquet checkpoint ≙ the
+CompactThetaSketch exchange path, theta/sketch.rs:443-491).
+
+Checkpoint/resume: each stage writes to ``<dir>/<stage>`` plus a one-row
+``_meta`` parquet carrying (stage, fingerprint). The fingerprint chains
+cfg_hash with the upstream stage's fingerprint — the pipeline-level analog
+of the reference's seed-hash compatibility check (hash/seed.rs:42-55): a
+resumed run with a different config or different upstream refuses to reuse
+the checkpoint and recomputes. ``_metrics`` accumulates per-stage row
+counts (map-then-merge accounting, FIXTURES.md F5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import PipelineConfig
+from ..operators.connected_components import connected_components
+from ..operators.lsh import candidate_pairs, exact_pairs, exact_representatives
+from ..operators.signatures import compute_signatures
+from ..operators.verify import verify_pairs
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig | None = None,
+        checkpoint_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or PipelineConfig()
+        self.dir = checkpoint_dir
+        self.metrics: list[tuple] = []  # (stage, rows_out, fingerprint, reused)
+
+    # ------------------------------------------------------------ checkpoints
+
+    def _meta_path(self, name: str) -> str:
+        return f"{self.dir}/{name}__meta"
+
+    def _stage(self, name: str, upstream_fp: str, compute) -> tuple[DataFrame, str]:
+        """Run or resume one stage; returns (df, fingerprint)."""
+        fp = f"{self.cfg.cfg_hash()}|{upstream_fp}|{name}"
+        if self.dir is None:
+            df = compute()
+            return df, fp
+        path = f"{self.dir}/{name}"
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            try:
+                meta = self.spark.read.parquet(self._meta_path(name)).collect()
+                if meta and meta[0]["fingerprint"] == fp:
+                    df = self.spark.read.parquet(path)
+                    self.metrics.append((name, df.count(), fp, True))
+                    return df, fp
+            except Exception:
+                pass  # missing/corrupt meta → recompute
+        df = compute()
+        df.write.mode("overwrite").parquet(path)
+        self.spark.createDataFrame(
+            [(name, fp)], "stage string, fingerprint string"
+        ).write.mode("overwrite").parquet(self._meta_path(name))
+        out = self.spark.read.parquet(path)
+        self.metrics.append((name, out.count(), fp, False))
+        return out, fp
+
+    def flush_metrics(self) -> None:
+        if self.dir is None or not self.metrics:
+            return
+        self.spark.createDataFrame(
+            self.metrics, "stage string, rows_out long, input_fingerprint string, reused boolean"
+        ).write.mode("append").parquet(f"{self.dir}/_metrics")
+        self.metrics = []
+
+    # ------------------------------------------------------------ stages
+
+    def run(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
+        """corpus(repo,path,commit,lang,content) → clusters(file_id,
+        content_sha, cluster_id). cluster_id = min content_sha in component;
+        non-duplicated files map to their own content_sha."""
+        sigs, fp1 = self._stage(
+            "signatures", input_fp, lambda: compute_signatures(corpus, self.cfg)
+        )
+        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
+        cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
+        verified, fp4 = self._stage(
+            "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
+        )
+        edges = (
+            verified.where("accepted")
+            .select(F.col("sha_a").alias("src"), F.col("sha_b").alias("dst"))
+        )
+
+        def compute_clusters():
+            assign = connected_components(edges, checkpoint_dir=self.dir)
+            return (
+                sigs.select("file_id", "content_sha")
+                .join(
+                    assign.withColumnRenamed("node", "content_sha"),
+                    "content_sha",
+                    "left",
+                )
+                .select(
+                    "file_id",
+                    "content_sha",
+                    F.coalesce("component", "content_sha").alias("cluster_id"),
+                )
+            )
+
+        clusters, _ = self._stage("clusters", fp4, compute_clusters)
+        self.flush_metrics()
+        return clusters
+
+    def dup_pairs(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
+        """(file_id-level) exact + verified near-dup pairs — F3 schema."""
+        sigs, fp1 = self._stage(
+            "signatures", input_fp, lambda: compute_signatures(corpus, self.cfg)
+        )
+        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
+        cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
+        verified, fp4 = self._stage(
+            "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
+        )
+        rep_map = reps.select("content_sha", "rep_file_id")
+        near = (
+            verified.where("accepted")
+            .join(rep_map.withColumnRenamed("content_sha", "sha_a")
+                  .withColumnRenamed("rep_file_id", "file_id_a"), "sha_a")
+            .join(rep_map.withColumnRenamed("content_sha", "sha_b")
+                  .withColumnRenamed("rep_file_id", "file_id_b"), "sha_b")
+            .select(
+                F.least("file_id_a", "file_id_b").alias("file_id_a"),
+                F.greatest("file_id_a", "file_id_b").alias("file_id_b"),
+                "jaccard_est",
+                F.lit("near").alias("kind"),
+            )
+        )
+        ex = exact_pairs(sigs)
+        self.flush_metrics()
+        return ex.unionByName(near)
