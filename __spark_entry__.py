@@ -1,38 +1,392 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an operator from SURVEY.md §2 implemented by
+``datasketches_rust_spark``; ``oracle_sql()`` holds the DuckDB-equivalent
+ANSI SQL. Sketch queries are configured in *exact mode* (k >= true
+distinct count) so the theta estimate equals COUNT(DISTINCT) and the
+value-hash comparison is meaningful — the estimation-mode behavior is
+covered by pytest (tests/test_sigkit.py, tests/test_pipeline.py).
+
+Entries without an oracle (sketch-estimate / LSH operators whose output is
+not SQL-expressible) get the driver's rows-only check and their own pytest
+oracles instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from datasketches_rust_spark.config import PipelineConfig
+from datasketches_rust_spark.functions.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    countmin_build,
+    countmin_estimate,
+    frequent_items,
+    hll_distinct,
+)
+from datasketches_rust_spark.functions.textops import (
+    exact_dedup_map,
+    frequent_tokens,
+    lang_id,
+    ngram_jaccard_pairs,
+    quality_stats,
+    token_stats,
+)
+from datasketches_rust_spark.functions.theta import (
+    theta_a_not_b,
+    theta_estimate,
+    theta_intersection,
+    theta_sketch_agg,
+    theta_union,
+)
+from datasketches_rust_spark.operators.ann import ann_topk_bruteforce, ann_topk_lsh
+from datasketches_rust_spark.operators.simhash_pairs import simhash_pairs
+from datasketches_rust_spark.operators.substring import containment_pairs, doc_fingerprints
+
+CFG = PipelineConfig()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_corpus(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+# --------------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup pipeline over the sf0.001 documents table."""
+    from datasketches_rust_spark.plans.pipeline import DedupPipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pipe = DedupPipeline(spark, CFG)
+    return pipe.run(_docs_as_corpus(docs))
+
+
+# ------------------------------------------------------------------- queries
+
+def _q_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.8)
+
+
+def _q_substring(spark, sf):
+    return containment_pairs(_t(spark, sf, "documents"))
+
+
+def _q_exact_dedup(spark, sf):
+    return exact_dedup_map(_t(spark, sf, "documents"))
+
+
+def _q_token_stats(spark, sf):
+    df = token_stats(_t(spark, sf, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
+def _q_quality(spark, sf):
+    return quality_stats(_t(spark, sf, "documents"))
+
+
+def _q_lang_id(spark, sf):
+    return lang_id(_t(spark, sf, "documents"))
+
+
+def _q_frequent_tokens(spark, sf):
+    return frequent_tokens(_t(spark, sf, "documents"), min_ratio=0.002)
+
+
+def _q_theta_distinct(spark, sf):
+    sk = theta_sketch_agg(_t(spark, sf, "lineitem"), ["l_returnflag"], "l_orderkey", k=16384)
+    return sk.select(
+        "l_returnflag",
+        F.round(theta_estimate(F.col("sketch"))).cast("long").alias("n_distinct"),
+    )
+
+
+def _events_sketch(spark, sf, etype, k=1024):
+    ev = _t(spark, sf, "events").where(F.col("event_type") == etype)
+    return theta_sketch_agg(ev, [], "user_id", k=k).select(F.col("sketch").alias(etype))
+
+
+def _q_theta_union(spark, sf):
+    a = _events_sketch(spark, sf, "click")
+    b = _events_sketch(spark, sf, "view")
+    return a.crossJoin(b).select(
+        F.round(theta_estimate(theta_union(F.col("click"), F.col("view"), k=1024)))
+        .cast("long")
+        .alias("n_users")
+    )
+
+
+def _q_theta_intersect(spark, sf):
+    a = _events_sketch(spark, sf, "click")
+    b = _events_sketch(spark, sf, "purchase")
+    return a.crossJoin(b).select(
+        F.round(theta_estimate(theta_intersection(F.col("click"), F.col("purchase"))))
+        .cast("long")
+        .alias("n_users")
+    )
+
+
+def _q_theta_anotb(spark, sf):
+    a = _events_sketch(spark, sf, "click")
+    b = _events_sketch(spark, sf, "purchase")
+    return a.crossJoin(b).select(
+        F.round(theta_estimate(theta_a_not_b(F.col("click"), F.col("purchase"))))
+        .cast("long")
+        .alias("n_users")
+    )
+
+
+def _q_tuple_distinct_sum(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    sk = theta_sketch_agg(li, ["l_returnflag"], "l_orderkey", k=16384).select(
+        "l_returnflag",
+        F.round(theta_estimate(F.col("sketch"))).cast("long").alias("n_distinct_orders"),
+    )
+    sums = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sum_qty"))
+    return sk.join(sums, "l_returnflag")
+
+
+def _q_frequent_events(spark, sf):
+    ev = _t(spark, sf, "events")
+    total = ev.count()
+    return frequent_items(ev, "event_type", threshold=int(total * 0.15))
+
+
+def _q_countmin(spark, sf):
+    ev = _t(spark, sf, "events")
+    sketch = countmin_build(ev, "event_type", num_hashes=3, width=2048)
+    items = ev.select("event_type").distinct()
+    return countmin_estimate(sketch, items, "event_type", num_hashes=3, width=2048)
+
+
+def _q_tdigest_quantiles(spark, sf):
+    od = _t(spark, sf, "orders")
+    qs = od.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("q")
+    )
+    return qs.select(
+        "o_orderstatus",
+        F.round(F.element_at("q", 1), 4).alias("p50"),
+        F.round(F.element_at("q", 2), 4).alias("p90"),
+        F.round(F.element_at("q", 3), 4).alias("p99"),
+    )
+
+
+def _q_bloom_semijoin(spark, sf):
+    orders = _t(spark, sf, "orders").where(F.col("o_totalprice") > 50000)
+    li = _t(spark, sf, "lineitem")
+    bits = bloom_build(orders, "o_orderkey", num_bits=1 << 22, num_hashes=5)
+    keys = li.select("l_orderkey").distinct()
+    flags = bloom_might_contain(keys, "l_orderkey", bits, num_bits=1 << 22, num_hashes=5)
+    return (
+        li.join(flags.where("might_contain").select("l_orderkey"), "l_orderkey")
+        .agg(F.count("*").alias("n_matched"))
+    )
+
+
+def _q_ann_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ann_topk_bruteforce(emb, emb.where("vec_id < 10"), k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# rows-only (sketch-estimate / LSH operators; pytest carries their oracles)
+
+def _q_hll_distinct(spark, sf):
+    return hll_distinct(_t(spark, sf, "events"), ["event_type"], "user_id")
+
+
+def _q_lsh_dup_pairs(spark, sf):
+    from datasketches_rust_spark.plans.pipeline import DedupPipeline
+
+    docs = _docs_as_corpus(_t(spark, sf, "documents"))
+    return DedupPipeline(spark, CFG).dup_pairs(docs)
+
+
+def _q_simhash_pairs(spark, sf):
+    return simhash_pairs(_t(spark, sf, "documents"), CFG, max_hamming=7)
+
+
+def _q_doc_fingerprints(spark, sf):
+    return doc_fingerprints(_t(spark, sf, "documents"))
+
+
+def _q_ann_topk_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return ann_topk_lsh(emb, emb.where("vec_id < 10"), k=5)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "substring_containment": _q_substring,
+        "exact_dedup_map": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality_stats": _q_quality,
+        "lang_id": _q_lang_id,
+        "frequent_tokens": _q_frequent_tokens,
+        "theta_distinct_orders": _q_theta_distinct,
+        "theta_union_users": _q_theta_union,
+        "theta_intersect_users": _q_theta_intersect,
+        "theta_anotb_users": _q_theta_anotb,
+        "tuple_distinct_sum": _q_tuple_distinct_sum,
+        "frequent_events": _q_frequent_events,
+        "countmin_event_counts": _q_countmin,
+        "tdigest_quantiles": _q_tdigest_quantiles,
+        "bloom_semijoin": _q_bloom_semijoin,
+        "ann_topk": _q_ann_topk,
+        # rows-only (no SQL-expressible oracle)
+        "hll_distinct_users": _q_hll_distinct,
+        "lsh_dup_pairs_est": _q_lsh_dup_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOK = "[A-Za-z0-9_]+"
+_STOP = (
+    "the of and to in a is that it for on with as are was at by an be this "
+    "from or which you not have has had but they his her its were been"
+).split()
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
+
+_SHINGLES_CTE = f"""
+tok AS (SELECT doc_id, regexp_extract_all(text, '{_TOK}') AS t FROM documents),
+sh AS (SELECT doc_id,
+  CASE WHEN len(t) >= 5
+       THEN list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' '))
+       WHEN len(t) > 0 THEN [array_to_string(t, ' ')]
+       ELSE [] END AS shs
+  FROM tok),
+ex AS (SELECT doc_id, unnest(list_distinct(shs)) AS s FROM sh)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "ngram_jaccard_pairs": f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8
+""",
+        "substring_containment": """
+SELECT a.doc_id AS doc_id_contained, b.doc_id AS doc_id_container
+FROM documents a JOIN documents b
+ON a.doc_id != b.doc_id AND position(a.text IN b.text) > 0
+""",
+        "exact_dedup_map": """
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep_id FROM documents
+""",
+        "token_stats": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_TOK}')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '{_TOK}'))) AS BIGINT) AS n_distinct_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+""",
+        "quality_stats": f"""
+WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '{_TOK}') AS tok FROM documents)
+SELECT doc_id,
+  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+  round(len(list_filter(tok, x -> list_contains({_STOP_SQL}, lower(x)))) * 1.0 / greatest(len(tok), 1), 6) AS stopword_ratio,
+  round(list_sum(list_transform(tok, x -> length(x))) * 1.0 / greatest(len(tok), 1), 6) AS avg_token_len
+FROM t
+""",
+        "lang_id": f"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '{_TOK}') AS tok FROM documents)
+SELECT doc_id,
+  CASE WHEN len(list_filter(tok, x -> list_contains({_STOP_SQL}, lower(x)))) * 1.0
+            / greatest(len(tok), 1) >= 0.05
+       THEN 'en' ELSE 'unk' END AS lang_pred
+FROM t
+""",
+        "frequent_tokens": f"""
+WITH ex AS (SELECT unnest(regexp_extract_all(text, '{_TOK}')) AS token FROM documents),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY 1),
+t AS (SELECT count(*) * 0.002 AS thr FROM ex)
+SELECT token, cnt FROM c, t WHERE cnt >= thr
+""",
+        "theta_distinct_orders": """
+SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY 1
+""",
+        "theta_union_users": """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events WHERE event_type IN ('click', 'view')
+""",
+        "theta_intersect_users": """
+SELECT CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+""",
+        "theta_anotb_users": """
+SELECT CAST(count(*) AS BIGINT) AS n_users FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+""",
+        "tuple_distinct_sum": """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
+       sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY 1
+""",
+        "frequent_events": """
+WITH t AS (SELECT count(*) * 0.15 AS thr FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM events, t GROUP BY event_type, thr HAVING count(*) >= thr
+""",
+        "countmin_event_counts": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count FROM events GROUP BY 1
+""",
+        "tdigest_quantiles": """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+FROM orders GROUP BY 1
+""",
+        "bloom_semijoin": """
+SELECT CAST(count(*) AS BIGINT) AS n_matched FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 50000)
+""",
+        "ann_topk": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+q AS (SELECT * FROM n WHERE vec_id < 10),
+scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+  round(list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * n.v[i]))
+        / (q.nrm * n.nrm), 9) AS c
+  FROM n, q WHERE n.vec_id != q.vec_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+    }

@@ -1,0 +1,139 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR plus the
+two-parallelism dedup-throughput scaling measurement.
+
+Prints ONE JSON line:
+{
+  "metric": "headline queries total", "value": <sec>, "unit": "sec",
+  "queries": {name: sec, ...}, "sf": <sf>,
+  "dedup": {"files": n, "files_per_sec_8": ..., "files_per_sec_32": ...,
+            "scaling_efficiency": t32/(4*t8)}
+}
+
+The scaling run executes the full pipeline twice in subprocesses
+(local[8] vs local[32], same generated corpus parquet) — the sandbox
+proxy for the N vs 4N executor criterion (see BASELINE.md).
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip that part.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "400000"))
+BENCH_SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SIZE_SCALE", "8"))
+# N vs 4N parallelism levels. 4 and 16 stay within this box's physical
+# cores (measured pure-CPU scaling 4→16 procs = 3.78×/0.945 eff; 8→32
+# crosses into SMT where the hardware itself caps at ~3.1×/0.77 — see
+# BASELINE.md measurement protocol).
+SCALE_LEVELS = tuple(
+    int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
+)
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+
+HEADLINE = [
+    "ngram_jaccard_pairs",
+    "substring_containment",
+    "lsh_dup_pairs_est",
+    "simhash_pairs",
+    "theta_distinct_orders",
+    "tuple_distinct_sum",
+    "frequent_tokens",
+    "countmin_event_counts",
+    "tdigest_quantiles",
+    "bloom_semijoin",
+    "ann_topk",
+    "hll_distinct_users",
+]
+
+
+def run_headline(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.monotonic() - t0, 3)
+    return times
+
+
+def ensure_bench_corpus(spark) -> str:
+    path = os.path.join(CACHE, f"bench_corpus_{BENCH_FILES}_x{BENCH_SIZE_SCALE}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from datasketches_rust_spark.corpus.generator import corpus_spark
+
+        corpus_spark(
+            spark, BENCH_FILES, seed=42, partitions=256, size_scale=BENCH_SIZE_SCALE
+        ).drop("file_seq").write.mode("overwrite").parquet(path)
+    return path
+
+
+def scaling_run(corpus_path: str) -> dict:
+    lo, hi = SCALE_LEVELS
+    out = {}
+    for cpus in (lo, hi):
+        # pin the whole child tree (JVM + python workers) to exactly N CPUs,
+        # like a cgroup-limited executor — local[N] alone lets the JVM and
+        # workers spill onto extra cores and corrupts the N-vs-4N comparison
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+             os.path.join("scripts", "bench_dedup_child.py"), corpus_path, str(cpus)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=1800,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        out[cpus] = json.loads(line)
+    t_lo = out[lo]["files"] / out[lo]["wall"]
+    t_hi = out[hi]["files"] / out[hi]["wall"]
+    ratio = hi / lo
+    return {
+        "files": out[hi]["files"],
+        "clusters": out[hi]["clusters"],
+        "levels": [lo, hi],
+        f"wall_{lo}": round(out[lo]["wall"], 2),
+        f"wall_{hi}": round(out[hi]["wall"], 2),
+        f"files_per_sec_{lo}": round(t_lo, 1),
+        f"files_per_sec_{hi}": round(t_hi, 1),
+        "scaling_efficiency": round(t_hi / (ratio * t_lo), 3),
+    }
+
+
+def main() -> None:
+    from datasketches_rust_spark.plans.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", shuffle_partitions=CPUS, app_name="bench")
+    queries = run_headline(spark)
+    corpus_path = ensure_bench_corpus(spark)
+    spark.stop()
+
+    dedup = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        dedup = scaling_run(corpus_path)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline queries total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if dedup:
+        result["dedup"] = dedup
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

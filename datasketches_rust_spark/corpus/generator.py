@@ -71,10 +71,13 @@ def _ident_pool(rng: np.random.Generator, n: int, tag: int) -> list[str]:
     return [f"v{tag % 997}_{int(x):x}" for x in nums]
 
 
-def _base_content(seed: int, file_id: int) -> str:
-    """Independent synthetic source file; length ~ log-normal."""
+def _base_content(seed: int, file_id: int, size_scale: int = 1) -> str:
+    """Independent synthetic source file; length ~ log-normal.
+
+    ``size_scale`` multiplies line counts (bench corpora use ~6 to match
+    realistic source-file sizes of several KB; tests use 1)."""
     rng = _rng_for(seed, file_id, stream=1)
-    n_lines = int(np.clip(rng.lognormal(3.3, 0.7), 8, 600))
+    n_lines = int(np.clip(rng.lognormal(3.3, 0.7) * size_scale, 8, 600 * size_scale))
     pool = _ident_pool(rng, max(12, n_lines // 2), file_id)
     kw = rng.choice(_KEYWORDS, size=n_lines).tolist()
     a = rng.integers(0, len(pool), size=n_lines)
@@ -125,29 +128,42 @@ def family_id(file_id: int, mega: int = MEGA_FAMILY_SIZE_DEFAULT) -> int:
     return file_id - m  # block's class-0 member
 
 
-def content_for(seed: int, file_id: int, mega: int = MEGA_FAMILY_SIZE_DEFAULT) -> str:
+def content_for(
+    seed: int, file_id: int, mega: int = MEGA_FAMILY_SIZE_DEFAULT, size_scale: int = 1
+) -> str:
     klass = file_class(file_id, mega)
     fam = family_id(file_id, mega)
     if klass == "base":
-        return _base_content(seed, file_id)
+        return _base_content(seed, file_id, size_scale)
     if klass == "exact":
-        return _base_content(seed, fam)
+        return _base_content(seed, fam, size_scale)
     rng = _rng_for(seed, file_id, stream=2)
     if klass == "near_high":
-        return _edit_tokens(_base_content(seed, fam), float(rng.uniform(0.002, 0.01)), rng)
+        return _edit_tokens(
+            _base_content(seed, fam, size_scale), float(rng.uniform(0.002, 0.01)), rng
+        )
     if klass == "near_border":
-        return _edit_tokens(_base_content(seed, fam), float(rng.uniform(0.03, 0.10)), rng)
+        return _edit_tokens(
+            _base_content(seed, fam, size_scale), float(rng.uniform(0.03, 0.10)), rng
+        )
     if klass == "contained":
-        pre = _base_content(seed, file_id)  # independent wrapper body
-        return pre + "\n" + _base_content(seed, fam) + "\n" + _edit_tokens(pre, 0.9, rng)
+        pre = _base_content(seed, file_id, size_scale)  # independent wrapper body
+        return (
+            pre + "\n" + _base_content(seed, fam, size_scale) + "\n" + _edit_tokens(pre, 0.9, rng)
+        )
     # boilerplate: shared header + unrelated body (body >= header so J stays low)
-    body = _base_content(seed, file_id)
+    body = _base_content(seed, file_id, size_scale)
     while len(body.split()) < 250:
-        body = body + "\n" + _base_content(seed, file_id + (1 << 40))
+        body = body + "\n" + _base_content(seed, file_id + (1 << 40), size_scale)
     return LICENSE_HEADER + "\n" + body
 
 
-def gen_batch(ids: np.ndarray, seed: int, mega: int = MEGA_FAMILY_SIZE_DEFAULT) -> pd.DataFrame:
+def gen_batch(
+    ids: np.ndarray,
+    seed: int,
+    mega: int = MEGA_FAMILY_SIZE_DEFAULT,
+    size_scale: int = 1,
+) -> pd.DataFrame:
     """Corpus rows for a batch of file ids (pure function of (seed, id))."""
     rows = []
     for fid in ids:
@@ -158,7 +174,7 @@ def gen_batch(ids: np.ndarray, seed: int, mega: int = MEGA_FAMILY_SIZE_DEFAULT) 
         repo = f"org{org}/repo{int(rng.integers(0, 53))}"
         path = f"src/m{int(rng.integers(0, 31))}/f{fid}.{ext}"
         commit = bytes(rng.integers(0, 256, size=20, dtype=np.uint8)).hex()
-        rows.append((repo, path, commit, lang, content_for(seed, fid, mega), fid))
+        rows.append((repo, path, commit, lang, content_for(seed, fid, mega, size_scale), fid))
     return pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content", "file_seq"])
 
 
@@ -168,7 +184,8 @@ def content_sha_pandas(content: pd.Series) -> pd.Series:
 
 
 def corpus_spark(spark, n_files: int, seed: int = 42,
-                 mega: int = MEGA_FAMILY_SIZE_DEFAULT, partitions: int | None = None):
+                 mega: int = MEGA_FAMILY_SIZE_DEFAULT, partitions: int | None = None,
+                 size_scale: int = 1):
     """Distributed deterministic corpus as a Spark DataFrame.
 
     ``file_seq`` (the generator id) is kept so tests can join ground truth;
@@ -196,7 +213,7 @@ def corpus_spark(spark, n_files: int, seed: int = 42,
 
     def gen(iterator):
         for pdf in iterator:
-            yield gen_batch(pdf["id"].to_numpy(), seed, mega)
+            yield gen_batch(pdf["id"].to_numpy(), seed, mega, size_scale)
 
     return spark.range(0, n_files, numPartitions=parts).mapInPandas(gen, schema=schema)
 

@@ -1,0 +1,133 @@
+"""Count-Min, Bloom, frequent-items and HLL as Spark-native aggregates.
+
+Each sketch is re-expressed in Spark's partial→final aggregation model
+with JVM-only expressions (the sketch state becomes a small DataFrame or a
+group of rows), mirroring the reference's merge contracts:
+
+- Count-Min (countmin/sketch.rs:47-98, merge :254-267): the d×w counter
+  matrix IS a grouped count table keyed by (row, bucket); elementwise `+`
+  merge is what groupBy().sum() does. Bucket index = hash(item, row) % w
+  (per-row derived seeds, countmin/sketch.rs:423-428).
+- Bloom (bloom/sketch.rs:123-126, :510-554): Kirsch-Mitzenmacher double
+  hashing h0 + i*h1; the bit set is a distinct-positions DataFrame, union
+  is just distinct-union of positions (bit-OR, bloom/sketch.rs:179-197);
+  probes are a broadcast join counting matched positions == k.
+- Frequent items (frequencies/sketch.rs:96-132): in exact mode (map size
+  >= distinct items) Misra-Gries never purges, so counts are exact
+  groupBy counts and the threshold query is `HAVING cnt >= threshold`
+  with NoFalseNegatives/NoFalsePositives coinciding.
+- HLL (hll/sketch.rs:91-104): Spark's approx_count_distinct IS an HLL++
+  union; ``hll_distinct`` just fixes the rsd parameter mapping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# ----------------------------------------------------------------- count-min
+
+
+def _cm_bucket(item: Column, row: int, width: int) -> Column:
+    return F.pmod(F.xxhash64(item, F.lit(row)), F.lit(width)).cast("int")
+
+
+def countmin_build(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    num_hashes: int = 3,
+    width: int = 2048,
+) -> DataFrame:
+    """Build the CM counter table: (row int, bucket int, cnt long)."""
+    item = F.col(item_col)
+    w = F.col(weight_col) if weight_col else F.lit(1).cast("long")
+    idx = F.array([_cm_bucket(item, r, width) for r in range(num_hashes)])
+    ex = df.select(F.posexplode(idx).alias("row", "bucket"), w.alias("__w"))
+    return ex.groupBy("row", "bucket").agg(F.sum("__w").alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    num_hashes: int = 3,
+    width: int = 2048,
+) -> DataFrame:
+    """Point queries: est = min over rows of the bucket counters."""
+    item = F.col(item_col)
+    idx = F.array([_cm_bucket(item, r, width) for r in range(num_hashes)])
+    ex = items.select(item, F.posexplode(idx).alias("row", "bucket"))
+    return (
+        ex.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(item_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+# ----------------------------------------------------------------- bloom
+
+
+def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> Column:
+    """Kirsch-Mitzenmacher double-hash positions (bloom/sketch.rs:510-554)."""
+    # modular form of h0 + i*h1 (mod m): ANSI-safe (no 64-bit overflow,
+    # i * (h1 mod m) <= k * m << 2^63)
+    h0 = F.pmod(F.xxhash64(col), F.lit(num_bits))
+    h1 = F.pmod(F.xxhash64(F.xxhash64(col)), F.lit(num_bits))
+    return F.array(
+        [
+            F.pmod(h0 + F.lit(i) * h1, F.lit(num_bits)).cast("long")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, col: str, num_bits: int = 1 << 22, num_hashes: int = 5
+) -> DataFrame:
+    """Bit set as a distinct-position DataFrame (union = distinct union)."""
+    return (
+        df.select(F.explode(_bloom_positions(F.col(col), num_bits, num_hashes)).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_might_contain(
+    probe: DataFrame,
+    col: str,
+    bits: DataFrame,
+    num_bits: int = 1 << 22,
+    num_hashes: int = 5,
+) -> DataFrame:
+    """probe + boolean ``might_contain``: all k positions set."""
+    pos = _bloom_positions(F.col(col), num_bits, num_hashes)
+    ex = probe.select("*", F.posexplode(pos).alias("__i", "bit"))
+    marked = ex.join(
+        F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left"
+    )
+    return (
+        marked.groupBy(*probe.columns)
+        .agg((F.count("__hit") == F.lit(num_hashes)).alias("might_contain"))
+    )
+
+
+# ----------------------------------------------------------------- frequent
+
+def frequent_items(
+    df: DataFrame, item_col: str, threshold: int
+) -> DataFrame:
+    """Heavy hitters with count >= threshold (exact-mode Misra-Gries)."""
+    return (
+        df.groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .where(F.col("cnt") >= threshold)
+    )
+
+
+# ----------------------------------------------------------------- hll
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str, rsd: float = 0.016) -> DataFrame:
+    """HLL++ distinct count per group (rsd 0.016 ≙ lg_k=12, hll/sketch.rs:73-75)."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("approx_distinct")
+    )

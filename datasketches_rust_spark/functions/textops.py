@@ -1,0 +1,153 @@
+"""Text analysis + exact n-gram dedup as pure JVM DataFrame expressions.
+
+Everything here stays inside whole-stage codegen: tokenization is
+``regexp_extract_all``, shingling is ``transform(sequence(...), slice)``,
+Jaccard is a shingle-explode + self-join + group-count — no Python UDFs at
+all, so these operators scale with Spark's native shuffle machinery.
+
+Semantics match sigkit's kernel tokenizer (token = ``[A-Za-z0-9_]+`` run;
+docs with 0 < n_tokens < width contribute one whole-sequence shingle) so
+the exact path and the sketch path agree on what a "shingle" is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..config import TOKEN_REGEX
+
+EN_STOPWORDS = (
+    "the of and to in a is that it for on with as are was at by an be this "
+    "from or which you not have has had but they his her its were been"
+).split()
+
+
+def tokens(col) -> Column:
+    return F.regexp_extract_all(col, F.lit(TOKEN_REGEX), 0)
+
+
+def shingles(tok: Column, width: int = 5) -> Column:
+    """w-gram shingle strings; short docs → one whole-sequence shingle."""
+    n = F.size(tok)
+    full = F.transform(
+        F.sequence(F.lit(0), n - width),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, width)),
+    )
+    return (
+        F.when(n >= width, full)
+        .when(n > 0, F.array(F.concat_ws(" ", tok)))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
+    """(id, shingle-hash) rows, distinct per doc; hash shrinks the shuffle."""
+    return (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), width))).alias("__sh"),
+        )
+        .select("__id", F.xxhash64("__sh").alias("__shh"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-w-gram Jaccard dedup: all pairs with J >= threshold.
+
+    Exhaustive (no LSH): the exact-verification counterpart of the sketch
+    pipeline, and the DuckDB-oracle-matched operator. Plan: shingle
+    explode → self-equi-join on shingle hash → pair group-count →
+    |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    ex = _exploded_shingles(docs, id_col, text_col, width)
+    sizes = ex.groupBy("__id").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__shh") == F.col("b.__shh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("__id", "ia").withColumnRenamed("n", "na"), "ia")
+        .join(sizes.withColumnRenamed("__id", "ib").withColumnRenamed("n", "nb"), "ib")
+        .select(
+            F.col("ia").alias(f"{id_col}_a"),
+            F.col("ib").alias(f"{id_col}_b"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Every doc mapped to the min-id representative of identical text."""
+    w = Window.partitionBy(text_col)
+    return docs.select(
+        F.col(id_col), F.min(id_col).over(w).alias("rep_id")
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: total, distinct, chars."""
+    tok = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_distinct_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: alpha ratio, stopword ratio, token length."""
+    tok = tokens(F.col(text_col))
+    stop_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
+    n_stop = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    token_chars = F.aggregate(tok, F.lit(0), lambda acc, t: acc + F.length(t))
+    return docs.select(
+        F.col(id_col),
+        F.round(alpha_chars / F.greatest(F.length(text_col), F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(n_stop / F.greatest(F.size(tok), F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(token_chars / F.greatest(F.size(tok), F.lit(1)), 6).alias("avg_token_len"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic: 'en' vs 'unk'."""
+    tok = tokens(F.col(text_col))
+    stop_arr = F.array([F.lit(w) for w in EN_STOPWORDS])
+    ratio = F.size(F.filter(tok, lambda t: F.array_contains(stop_arr, F.lower(t)))) / F.greatest(
+        F.size(tok), F.lit(1)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+    )
+
+
+def frequent_tokens(
+    docs: DataFrame, text_col: str = "text", min_ratio: float = 0.002
+) -> DataFrame:
+    """Heavy-hitter tokens: count >= min_ratio * total tokens.
+
+    Exact mode of the Misra-Gries contract (frequencies/sketch.rs:394-430,
+    NoFalsePositives at threshold): deterministic set output (no top-k tie
+    ambiguity).
+    """
+    ex = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = ex.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = ex.agg(F.count("*").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .where(F.col("cnt") >= F.col("__total") * min_ratio)
+        .drop("__total")
+    )

@@ -1,0 +1,134 @@
+"""Theta/KMV sketch as a pure-built-in Spark aggregate (no Python UDFs).
+
+The reference's theta sketch is "k smallest distinct 63-bit hashes + theta"
+(`/root/reference/datasketches/src/thetafamily/theta/sketch.rs:103-106`,
+rebuild/trim at ``common/hash_table.rs:388-423``). Re-expressed in Spark's
+partial→final aggregation model using only JVM expressions, so the whole
+agg stays in whole-stage codegen and map-side combine applies:
+
+- hash item: ``xxhash64 >> 1`` (63-bit, sign-safe — the Java-compat form
+  of ``common/hash_table.rs:135-140``);
+- partial: ``groupBy(keys + salt).agg(slice(array_sort(collect_set(h)), 1,
+  k+1))`` — each salt shard keeps at most k+1 smallest distinct hashes;
+- final: merge shards with ``array_distinct(flatten(...))``, re-sort,
+  re-truncate to k+1 — exactly ThetaUnion's min-theta + k-truncation
+  (common/union.rs:64-135);
+- estimate: retained / (theta / 2^63) (theta/sketch.rs:143-150), exact
+  while the true distinct count <= k.
+
+The sketch column is a struct (kmv array<long>, theta long, retained int)
+— the ordered CompactThetaSketch (theta/sketch.rs:321-332) as a column.
+Set ops (union/intersect/a-not-b) between sketch columns are JVM array
+functions: array_union/array_intersect/array_except + theta min.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MAX_THETA63 = (1 << 63) - 1
+_SALT_SHARDS = 64
+
+
+def _h63(col) -> Column:
+    """63-bit item hash (works for any Spark-hashable column type)."""
+    return F.shiftrightunsigned(F.xxhash64(col), 1)
+
+
+def theta_sketch_agg(
+    df: DataFrame, group_cols: list[str], value_col: str, k: int = 4096
+) -> DataFrame:
+    """groupBy(group_cols) → theta sketch of distinct value_col per group.
+
+    Two-level salted aggregation bounds per-task state to (k+1) hashes per
+    (group, salt) shard — the distributed analog of per-shard sketch build
+    then union. Returns group_cols + ``sketch`` struct column.
+    """
+    h = _h63(F.col(value_col)).alias("__h")
+    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(_SALT_SHARDS)).alias("__salt")
+    partial = (
+        df.select(*group_cols, h, salt)
+        .where(F.col("__h") != 0)  # zero-hash screening (hash_table.rs:160-163)
+        .groupBy(*group_cols, "__salt")
+        .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k + 1).alias("__part"))
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("__part")))),
+            1,
+            k + 1,
+        ).alias("__m")
+    )
+    return merged.select(
+        *group_cols,
+        _pack_sketch(F.col("__m"), k).alias("sketch"),
+    )
+
+
+def _pack_sketch(m: Column, k: int) -> Column:
+    """(k+1)-truncated sorted hash array → sketch struct."""
+    over = F.size(m) > k
+    theta = F.when(over, F.element_at(m, k + 1)).otherwise(F.lit(MAX_THETA63))
+    kmv = F.when(over, F.slice(m, 1, k)).otherwise(m)
+    return F.struct(
+        kmv.alias("kmv"),
+        theta.cast("long").alias("theta"),
+        F.size(kmv).cast("int").alias("retained"),
+    )
+
+
+def theta_estimate(sketch: Column) -> Column:
+    """retained / (theta/2^63) — exact below k (theta/sketch.rs:143-150)."""
+    return sketch["retained"].cast("double") / (
+        sketch["theta"].cast("double") / F.lit(float(1 << 63))
+    )
+
+
+def _min_theta(a: Column, b: Column) -> Column:
+    return F.least(a["theta"], b["theta"])
+
+
+def _screen(arr: Column, theta: Column) -> Column:
+    return F.filter(arr, lambda x: x < theta)
+
+
+def theta_union(a: Column, b: Column, k: int = 4096) -> Column:
+    """Union of two sketch structs (common/union.rs:64-135)."""
+    theta = _min_theta(a, b)
+    m = F.array_sort(
+        F.array_union(_screen(a["kmv"], theta), _screen(b["kmv"], theta))
+    )
+    over = F.size(m) > k
+    new_theta = F.when(over, F.element_at(m, k + 1)).otherwise(theta)
+    kmv = F.when(over, F.slice(m, 1, k)).otherwise(m)
+    return F.struct(
+        kmv.alias("kmv"),
+        new_theta.cast("long").alias("theta"),
+        F.size(kmv).cast("int").alias("retained"),
+    )
+
+
+def theta_intersection(a: Column, b: Column) -> Column:
+    """Intersection under min-theta (common/intersection.rs:53-226)."""
+    theta = _min_theta(a, b)
+    kmv = F.array_sort(
+        F.array_intersect(_screen(a["kmv"], theta), _screen(b["kmv"], theta))
+    )
+    return F.struct(
+        kmv.alias("kmv"),
+        theta.cast("long").alias("theta"),
+        F.size(kmv).cast("int").alias("retained"),
+    )
+
+
+def theta_a_not_b(a: Column, b: Column) -> Column:
+    """A \\ B below combined theta (common/a_not_b.rs:58-168)."""
+    theta = _min_theta(a, b)
+    kmv = F.array_sort(
+        F.array_except(_screen(a["kmv"], theta), _screen(b["kmv"], theta))
+    )
+    return F.struct(
+        kmv.alias("kmv"),
+        theta.cast("long").alias("theta"),
+        F.size(kmv).cast("int").alias("retained"),
+    )

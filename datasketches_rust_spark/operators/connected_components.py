@@ -63,7 +63,9 @@ def _fingerprint(edges: DataFrame) -> tuple:
 
 def _cut_lineage(df: DataFrame, checkpoint_dir: str | None, tag: str) -> DataFrame:
     if checkpoint_dir is None:
-        return df.localCheckpoint(eager=True)
+        # lazy: the fingerprint action right after materializes it, so each
+        # iteration costs one job instead of two
+        return df.localCheckpoint(eager=False)
     path = f"{checkpoint_dir}/cc_{tag}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)

@@ -32,7 +32,7 @@ from ..sigkit.simhash import simhash64
 from ..sigkit.tokenize import shingle_hashes
 
 SIGNATURE_SCHEMA = (
-    "file_id string, content_sha string, repo string, lang string, "
+    "file_id string, content_sha string, "
     "n_shingles long, minhash_kmv array<long>, theta64 long, "
     "simhash64 long, bands array<long>, cfg_hash long"
 )
@@ -53,8 +53,6 @@ def signature_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
         {
             "file_id": pdf["file_id"].to_numpy(),
             "content_sha": pdf["content_sha"].to_numpy(),
-            "repo": pdf["repo"].to_numpy(),
-            "lang": pdf["lang"].to_numpy(),
             "n_shingles": n_distinct,
             "minhash_kmv": [
                 sig_i64[sig_offs[i]: sig_offs[i + 1]] for i in range(len(pdf))

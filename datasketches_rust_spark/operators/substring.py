@@ -1,0 +1,125 @@
+"""Substring-containment dedup via vectorized rolling hashes.
+
+Finds all pairs (contained, container) where one document's full text
+occurs verbatim inside another's — the suffix/substring dedup stage of the
+north rule. Strategy (scales as O(total_chars) map work + one equi-join):
+
+1. container side: polynomial rolling hash of every W-char window of every
+   doc, deduplicated per doc (numpy kernel, O(len) per doc via modular
+   prefix sums — loops only over docs' byte buffer as arrays);
+2. contained side: the same hash of each doc's first W chars;
+3. candidates = equi-join(prefix_hash == window_hash);
+4. exact verify: ``instr(container_text, contained_text) > 0`` (JVM).
+
+Window hashing plays the role the suffix array plays in the reference's
+substring-dedup framing: a positional index over content, queried by
+prefix — here expressed as a Spark join instead of a per-node binary
+search. Docs shorter than W are not supported (asserted by caller);
+W=32 < min doc length for all our inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
+_B_INV = np.uint64(pow(int(_B), -1, 1 << 64))
+
+
+def rolling_window_hashes(text: bytes, window: int) -> np.ndarray:
+    """All W-char window hashes of one byte string (vectorized O(len)).
+
+    H(i) = sum_{j<W} b[i+j] * B^(W-1-j)  (mod 2^64), computed from modular
+    prefix sums: H(i) = B^(W-1+i) * (S[i+W] - S[i]) with S[t] = sum b[u]*B^-u.
+    """
+    b = np.frombuffer(text, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    if n < window:
+        return np.empty(0, dtype=np.uint64)
+    inv_pows = np.cumprod(np.full(n, _B_INV, dtype=np.uint64)) * _B  # B^-t, t=0..n-1
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(b * inv_pows, out=s[1:])
+    i = np.arange(n - window + 1)
+    pows = np.cumprod(np.full(n, _B, dtype=np.uint64)) * _B_INV  # B^t
+    coef = pows[i + window - 1]  # B^(W-1+i)
+    return (s[i + window] - s[i]) * coef
+
+
+def _hash_batches(id_col: str, text_col: str, window: int, mode: str):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                h = rolling_window_hashes(str(txt).encode("utf-8"), window)
+                if len(h) == 0:
+                    continue
+                h = h[:1] if mode == "prefix" else np.unique(h)
+                ids.append(np.repeat(np.asarray([did]), len(h)))
+                hashes.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "__id": np.concatenate(ids),
+                        "__h": np.concatenate(hashes),
+                    }
+                )
+
+    return run
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+) -> DataFrame:
+    """(id_a contained-in id_b) pairs, exact-verified. Requires every doc
+    length >= window (true for all engine inputs; see module doc)."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    id_t, text_t = base.schema[0].dataType.simpleString(), "string"
+    schema = f"__id {id_t}, __h long"
+
+    windows = base.mapInPandas(_hash_batches(id_col, text_col, window, "windows"), schema)
+    prefixes = base.mapInPandas(_hash_batches(id_col, text_col, window, "prefix"), schema)
+
+    cands = (
+        prefixes.alias("p")
+        .join(
+            windows.alias("w"),
+            (F.col("p.__h") == F.col("w.__h")) & (F.col("p.__id") != F.col("w.__id")),
+        )
+        .select(F.col("p.__id").alias("id_a"), F.col("w.__id").alias("id_b"))
+        .distinct()
+    )
+    ta = base.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    tb = base.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        cands.join(ta, "id_a")
+        .join(tb, "id_b")
+        .where(F.instr(F.col("__tb"), F.col("__ta")) > 0)
+        .select(
+            F.col("id_a").alias(f"{id_col}_contained"),
+            F.col("id_b").alias(f"{id_col}_container"),
+        )
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 32,
+) -> DataFrame:
+    """Winnowing-style doc fingerprint: min rolling window hash per doc."""
+    base = docs.select(F.col(id_col), F.col(text_col))
+    id_t = base.schema[0].dataType.simpleString()
+    windows = base.mapInPandas(
+        _hash_batches(id_col, text_col, window, "windows"), f"__id {id_t}, __h long"
+    )
+    return windows.groupBy("__id").agg(F.min("__h").alias("fingerprint")).withColumnRenamed(
+        "__id", id_col
+    )

@@ -45,11 +45,20 @@ class DedupPipeline:
     def _meta_path(self, name: str) -> str:
         return f"{self.dir}/{name}__meta"
 
-    def _stage(self, name: str, upstream_fp: str, compute) -> tuple[DataFrame, str]:
+    def _stage(
+        self, name: str, upstream_fp: str, compute, materialize: bool = True
+    ) -> tuple[DataFrame, str]:
         """Run or resume one stage; returns (df, fingerprint)."""
         fp = f"{self.cfg.cfg_hash()}|{upstream_fp}|{name}"
         if self.dir is None:
+            # no durable checkpoint: still cut lineage lazily so downstream
+            # stages reuse this stage's result instead of recomputing the
+            # whole upstream chain per consumer. Single-consumer stages can
+            # opt out (materialize=False) and flow straight into their
+            # consumer's aggregation — saves a full write+read of the data.
             df = compute()
+            if materialize:
+                df = df.localCheckpoint(eager=False)
             return df, fp
         path = f"{self.dir}/{name}"
         if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -80,12 +89,25 @@ class DedupPipeline:
 
     # ------------------------------------------------------------ stages
 
+    @staticmethod
+    def file_ids(corpus: DataFrame) -> DataFrame:
+        """(file_id, content_sha) — JVM-only (sha2), cheap to recompute."""
+        return corpus.select(
+            F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
+            F.sha2(F.col("content"), 256).alias("content_sha"),
+        )
+
     def run(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
         """corpus(repo,path,commit,lang,content) → clusters(file_id,
         content_sha, cluster_id). cluster_id = min content_sha in component;
         non-duplicated files map to their own content_sha."""
+        # signatures feed exactly one consumer (the per-content dedup agg):
+        # stream them straight into it instead of materializing ~2KB/row
         sigs, fp1 = self._stage(
-            "signatures", input_fp, lambda: compute_signatures(corpus, self.cfg)
+            "signatures",
+            input_fp,
+            lambda: compute_signatures(corpus, self.cfg),
+            materialize=False,
         )
         reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
         cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
@@ -100,7 +122,7 @@ class DedupPipeline:
         def compute_clusters():
             assign = connected_components(edges, checkpoint_dir=self.dir)
             return (
-                sigs.select("file_id", "content_sha")
+                self.file_ids(corpus)
                 .join(
                     assign.withColumnRenamed("node", "content_sha"),
                     "content_sha",
@@ -120,7 +142,10 @@ class DedupPipeline:
     def dup_pairs(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
         """(file_id-level) exact + verified near-dup pairs — F3 schema."""
         sigs, fp1 = self._stage(
-            "signatures", input_fp, lambda: compute_signatures(corpus, self.cfg)
+            "signatures",
+            input_fp,
+            lambda: compute_signatures(corpus, self.cfg),
+            materialize=False,
         )
         reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
         cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
@@ -141,6 +166,6 @@ class DedupPipeline:
                 F.lit("near").alias("kind"),
             )
         )
-        ex = exact_pairs(sigs)
+        ex = exact_pairs(self.file_ids(corpus))
         self.flush_metrics()
         return ex.unionByName(near)

@@ -35,6 +35,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # coalesce small shuffles to few tasks instead of padding to
+        # parallelism — tiny post-LSH stages otherwise drown in task overhead
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # signature kernels work on whole-file strings; keep Arrow batches
         # bounded so a batch of 200KB files stays well under executor memory

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .xxhash import xxh64_slices, xxh64_u64_matrix
+from .xxhash import xxh64_slices, xxh64_u64
 
 # byte classes for tokenizer v1
 _TOKEN_BYTE = np.zeros(256, dtype=bool)
@@ -88,27 +88,40 @@ def shingle_hashes(
     shingle_vals = []
     shingle_docs = []
 
+    # w-gram shingle hash: polynomial fold of the w token hashes finished
+    # with the XXH64 8-byte avalanche (hash_u64 fast path, xxhash.rs:108-117)
+    # — contiguous-slice passes only, no sliding-window gather.
+    _B = np.uint64(0x9E3779B185EBCA87)  # odd → bijective per step
+
+    def _poly_fold(start: np.ndarray, w: int, n_win: int) -> np.ndarray:
+        acc = start[:n_win].copy()
+        for j in range(1, w):
+            acc = acc * _B + start[j : j + n_win]
+        return xxh64_u64(acc, seed)
+
     # full-width shingles: sliding windows that do not cross doc boundaries
     if len(tok_hashes) >= width:
-        win = np.lib.stride_tricks.sliding_window_view(tok_hashes, width)
+        n_win = len(tok_hashes) - width + 1
+        vals_full = _poly_fold(tok_hashes, width, n_win)
         # window starting at global token i stays in-doc iff i+width <= doc_end
-        starts_doc = np.searchsorted(tok_off, np.arange(len(win)), side="right") - 1
-        in_doc = np.arange(len(win)) + width <= tok_off[starts_doc + 1]
+        starts_doc = np.searchsorted(tok_off, np.arange(n_win), side="right") - 1
+        in_doc = np.arange(n_win) + width <= tok_off[starts_doc + 1]
         if in_doc.any():
             rows = np.nonzero(in_doc)[0]
-            shingle_vals.append(xxh64_u64_matrix(win[rows], seed))
+            shingle_vals.append(vals_full[rows])
             shingle_docs.append(starts_doc[rows])
 
     # short docs: one shingle over the full token-hash sequence
     short = np.nonzero((n_tok_per_doc > 0) & (n_tok_per_doc < width))[0]
     if len(short):
-        tok_bytes = np.ascontiguousarray(tok_hashes.astype("<u8")).view(np.uint8)
-        shingle_vals.append(
-            xxh64_slices(
-                tok_bytes, tok_off[short] * 8, n_tok_per_doc[short] * 8, seed
-            )
-        )
-        shingle_docs.append(short)
+        for w in np.unique(n_tok_per_doc[short]):
+            sel = short[n_tok_per_doc[short] == w]
+            gathered = tok_hashes[tok_off[sel][:, None] + np.arange(int(w))]
+            acc = gathered[:, 0].copy()
+            for j in range(1, int(w)):
+                acc = acc * _B + gathered[:, j]
+            shingle_vals.append(xxh64_u64(acc, seed))
+            shingle_docs.append(sel)
 
     if shingle_vals:
         vals = np.concatenate(shingle_vals) >> np.uint64(1)  # 63-bit form
