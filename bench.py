@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "400000"))
+BENCH_FILES = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "600000"))
 BENCH_SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SIZE_SCALE", "8"))
 # N vs 4N parallelism levels. 4 and 16 stay within this box's physical
 # cores (measured pure-CPU scaling 4→16 procs = 3.78×/0.945 eff; 8→32
