@@ -44,7 +44,11 @@ from datasketches_rust_spark.functions.theta import (
 )
 from datasketches_rust_spark.operators.ann import ann_topk_bruteforce, ann_topk_lsh
 from datasketches_rust_spark.operators.simhash_pairs import simhash_pairs
-from datasketches_rust_spark.operators.substring import containment_pairs, doc_fingerprints
+from datasketches_rust_spark.operators.substring import (
+    containment_pairs,
+    doc_fingerprints,
+    duplicated_spans,
+)
 
 CFG = PipelineConfig()
 
@@ -234,6 +238,26 @@ def _q_ann_topk_lsh(spark, sf):
     return ann_topk_lsh(emb, emb.where("vec_id < 10"), k=5)
 
 
+def _q_tdigest_sketch(spark, sf):
+    from datasketches_rust_spark.functions.sketch_aggs import tdigest_agg
+
+    return tdigest_agg(
+        _t(spark, sf, "orders"), ["o_orderstatus"], "o_totalprice", quantiles=[0.5, 0.9, 0.99]
+    )
+
+
+def _q_frequent_sketch(spark, sf):
+    from datasketches_rust_spark.functions.sketch_aggs import frequent_items_agg
+
+    return frequent_items_agg(
+        _t(spark, sf, "events"), [], "user_id", max_map_size=64, threshold_weight=50
+    )
+
+
+def _q_duplicated_spans(spark, sf):
+    return duplicated_spans(_t(spark, sf, "documents"), min_len=64)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -259,6 +283,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "doc_fingerprints": _q_doc_fingerprints,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "tdigest_sketch_quantiles": _q_tdigest_sketch,
+        "frequent_items_sketch": _q_frequent_sketch,
+        "duplicated_spans": _q_duplicated_spans,
     }
 
 

@@ -1,0 +1,134 @@
+"""Bounded-memory sketch aggregates in Spark's partial→final shape.
+
+Both aggregates follow the reference's map-then-merge model exactly:
+per-input-partition sketches are built in a tight numpy kernel
+(``mapInPandas`` — no shuffle), serialized as array columns, then merged
+per group with the sketch's commutative ``merge`` (``applyInPandas`` after
+a shuffle of *sketches*, not raw rows). Shuffle volume is O(groups ×
+sketch size), independent of input rows — the entire point of sketches at
+100 TB.
+
+- ``tdigest_agg``: sigkit.tdigest (TDigestMut semantics, tdigest/sketch.rs)
+- ``frequent_items_agg``: sigkit.frequencies (FrequentItemsSketch
+  semantics, frequencies/sketch.rs)
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..sigkit.frequencies import MisraGries
+from ..sigkit.tdigest import TDigest
+
+_GRP = "__grp"
+
+
+def _with_group(df: DataFrame, group_cols: list[str]) -> tuple[DataFrame, list[str]]:
+    if group_cols:
+        return df, group_cols
+    return df.withColumn(_GRP, F.lit(0)), [_GRP]
+
+
+def tdigest_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    delta: float = 200.0,
+) -> DataFrame:
+    """(group..., quantiles array<double>) via distributed t-digest."""
+    df, gcols = _with_group(df, group_cols)
+    base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
+    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    part_schema = f"{gschema}, means array<double>, weights array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                d = digests.setdefault(key, TDigest(delta))
+                d.update_batch(sub["__v"].to_numpy())
+        rows = []
+        for key, d in digests.items():
+            m, w = d.to_rows()
+            rows.append((*key, m, w))
+        yield pd.DataFrame(rows, columns=[*gcols, "means", "weights"])
+
+    part = base.mapInPandas(partials, part_schema)
+
+    out_schema = f"{gschema}, quantiles array<double>"
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest(delta)
+        for m, w in zip(pdf["means"], pdf["weights"]):
+            d.merge(TDigest.from_rows(delta, m, w))
+        qs = [d.quantile(q) for q in quantiles]
+        return pd.DataFrame([(*key, qs)], columns=[*gcols, "quantiles"])
+
+    out = part.groupBy(*gcols).applyInPandas(final, out_schema)
+    return out.drop(_GRP) if not group_cols else out
+
+
+def frequent_items_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    max_map_size: int = 256,
+    threshold_weight: int | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Heavy hitters per group via distributed Misra-Gries.
+
+    Output rows: (group..., item, count_lb, count_ub) for items whose
+    upper bound >= threshold (NoFalseNegatives, frequencies/sketch.rs:394-430);
+    threshold defaults to the sketch's maximum_error (= offset).
+    """
+    df, gcols = _with_group(df, group_cols)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
+    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    part_schema = (
+        f"{gschema}, items array<string>, counts array<long>, offset long, weight long"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                s = sk.setdefault(key, MisraGries(max_map_size))
+                s.update_batch(sub["__it"].to_numpy(), sub["__w"].to_numpy())
+        rows = []
+        for key, s in sk.items():
+            items, counts, off, wt = s.to_rows()
+            rows.append((*key, items, counts, off, wt))
+        yield pd.DataFrame(rows, columns=[*gcols, "items", "counts", "offset", "weight"])
+
+    part = base.mapInPandas(partials, part_schema)
+    out_schema = f"{gschema}, item string, count_lb long, count_ub long"
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = MisraGries(max_map_size)
+        for items, counts, off, wt in zip(
+            pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]
+        ):
+            s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
+        thr = threshold_weight if threshold_weight is not None else s.maximum_error()
+        ub = s.counts + s.offset
+        keep = ub >= thr
+        return pd.DataFrame(
+            {
+                **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},
+                "item": s.items[keep],
+                "count_lb": s.counts[keep],
+                "count_ub": ub[keep],
+            }
+        )
+
+    out = part.groupBy(*gcols).applyInPandas(final, out_schema)
+    return out.drop(_GRP) if not group_cols else out

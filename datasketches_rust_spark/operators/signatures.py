@@ -74,8 +74,6 @@ def compute_signatures(corpus: DataFrame, cfg: PipelineConfig) -> DataFrame:
     with_ids = corpus.select(
         F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
-        "repo",
-        "lang",
         "content",
     )
 

@@ -108,6 +108,52 @@ def containment_pairs(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 64,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Cross-document verbatim spans >= min_len bytes, via a per-partition
+    suffix array (sigkit.suffix_array) — the substring-dedup index stage.
+
+    Partition-local by design: each task builds one suffix array over its
+    documents, so memory stays bounded at any corpus size. Pairs spanning
+    partitions are the LSH/rolling-hash stages' job; this operator's role
+    is high-resolution *partial*-duplication detection (license blocks,
+    vendored code, copy-pasted functions) within a partition — co-locate
+    related docs (e.g. repartition by repo/lang) to aim it.
+    """
+    from ..sigkit.suffix_array import shared_spans
+
+    base = docs.select(F.col(id_col), F.col(text_col))
+    if partitions:
+        base = base.repartition(partitions)
+    id_t = base.schema[0].dataType.simpleString()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            texts = [str(t).encode("utf-8") for t in pdf[text_col]]
+            spans = shared_spans(texts, min_len)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id_a": ids[spans[:, 0]],
+                    "id_b": ids[spans[:, 1]],
+                    "span_len": spans[:, 2],
+                }
+            )
+
+    out = base.mapInPandas(run, f"id_a {id_t}, id_b {id_t}, span_len long")
+    return out.groupBy(
+        F.least("id_a", "id_b").alias(f"{id_col}_a"),
+        F.greatest("id_a", "id_b").alias(f"{id_col}_b"),
+    ).agg(F.max("span_len").alias("span_len"))
+
+
 def doc_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",

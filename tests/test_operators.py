@@ -1,0 +1,167 @@
+"""Spark-level operator tests on small in-memory data."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketches_rust_spark.config import PipelineConfig
+from datasketches_rust_spark.functions.sketch_aggs import frequent_items_agg, tdigest_agg
+from datasketches_rust_spark.functions.sketches import (
+    bloom_build,
+    bloom_might_contain,
+    countmin_build,
+    countmin_estimate,
+)
+from datasketches_rust_spark.functions.textops import ngram_jaccard_pairs
+from datasketches_rust_spark.functions.theta import (
+    theta_estimate,
+    theta_intersection,
+    theta_sketch_agg,
+    theta_union,
+)
+from datasketches_rust_spark.operators.ann import ann_topk_bruteforce, ann_topk_lsh
+from datasketches_rust_spark.operators.substring import containment_pairs, duplicated_spans
+
+CFG = PipelineConfig()
+
+
+def test_theta_agg_exact_and_estimation(spark):
+    df = spark.range(100_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 20_000).alias("v")
+    )
+    # exact mode: k > distinct
+    got = theta_sketch_agg(df, ["g"], "v", k=32768).select(
+        "g", F.round(theta_estimate(F.col("sketch"))).cast("long").alias("n")
+    )
+    for row in got.collect():
+        # gcd(3, 20000) = 1 → every residue class mod 3 covers all 20k values
+        assert row["n"] == 20_000
+    # estimation mode: k << distinct, within ~4/sqrt(k)
+    est = (
+        theta_sketch_agg(df.where("g = 0"), [], "v", k=512)
+        .select(theta_estimate(F.col("sketch")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert est == pytest.approx(20_000, rel=4 / np.sqrt(512))
+
+
+def test_theta_union_intersection_columns(spark):
+    a = spark.range(0, 1000).select(F.col("id").alias("v"))
+    b = spark.range(500, 1500).select(F.col("id").alias("v"))
+    sa = theta_sketch_agg(a, [], "v", k=4096).select(F.col("sketch").alias("a"))
+    sb = theta_sketch_agg(b, [], "v", k=4096).select(F.col("sketch").alias("b"))
+    row = (
+        sa.crossJoin(sb)
+        .select(
+            theta_estimate(theta_union(F.col("a"), F.col("b"), k=4096)).alias("u"),
+            theta_estimate(theta_intersection(F.col("a"), F.col("b"))).alias("i"),
+        )
+        .collect()[0]
+    )
+    assert row["u"] == 1500 and row["i"] == 500
+
+
+def test_tdigest_agg_distributed(spark):
+    rng = np.random.default_rng(11)
+    vals = rng.normal(100, 15, size=40_000)
+    df = spark.createDataFrame(
+        [(int(i % 2), float(v)) for i, v in enumerate(vals)], "g int, v double"
+    ).repartition(8)
+    out = {
+        r["g"]: r["quantiles"]
+        for r in tdigest_agg(df, ["g"], "v", quantiles=[0.5, 0.9]).collect()
+    }
+    for g in (0, 1):
+        sub = vals[g::2]
+        assert out[g][0] == pytest.approx(np.quantile(sub, 0.5), abs=1.0)
+        assert out[g][1] == pytest.approx(np.quantile(sub, 0.9), abs=1.5)
+
+
+def test_frequent_items_agg_distributed(spark):
+    items = ["hot"] * 5000 + ["warm"] * 1000 + [f"cold{i}" for i in range(3000)]
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(8)
+    out = frequent_items_agg(df, [], "item", max_map_size=64, threshold_weight=800)
+    rows = {r["item"]: (r["count_lb"], r["count_ub"]) for r in out.collect()}
+    assert "hot" in rows and rows["hot"][0] <= 5000 <= rows["hot"][1]
+    assert "warm" in rows and rows["warm"][0] <= 1000 <= rows["warm"][1]
+    # error contract: ub - lb <= W * 3.5 / M
+    w = len(items)
+    for lb, ub in rows.values():
+        assert ub - lb <= w * 3.5 / 64
+
+
+def test_countmin_and_bloom(spark):
+    ev = spark.createDataFrame(
+        [(f"k{i % 7}",) for i in range(7000)], "k string"
+    )
+    sk = countmin_build(ev, "k", num_hashes=3, width=1024)
+    est = countmin_estimate(sk, ev.select("k").distinct(), "k", num_hashes=3, width=1024)
+    assert all(r["est_count"] == 1000 for r in est.collect())
+
+    small = spark.range(100).select(F.col("id").alias("v"))
+    probe = spark.range(1000).select(F.col("id").alias("v"))
+    bits = bloom_build(small, "v", num_bits=1 << 16, num_hashes=5)
+    flags = bloom_might_contain(probe, "v", bits, num_bits=1 << 16, num_hashes=5)
+    got = {r["v"]: r["might_contain"] for r in flags.collect()}
+    assert all(got[v] for v in range(100))  # no false negatives ever
+    fp = sum(got[v] for v in range(100, 1000))
+    assert fp <= 5  # sized for tiny fpp
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.standard_normal((300, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    q = df.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(df, q, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_lsh(df, q, k=3, n_planes=32, band_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, recall  # fixed seed → deterministic
+
+
+def test_duplicated_spans_and_containment(spark):
+    span = "shared_block " * 30  # ~390 chars
+    docs = [
+        (0, "prefix0 " + span + " tail0 " + "x" * 40),
+        (1, "another " + span + " endsdiff " + "y" * 40),
+        (2, "unrelated content entirely " + "z" * 400),
+        (3, span.strip()),  # contained verbatim in 0 and 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+    spans = {
+        (r["doc_id_a"], r["doc_id_b"]): r["span_len"]
+        for r in duplicated_spans(df, min_len=100).collect()
+    }
+    assert (0, 1) in spans and spans[(0, 1)] >= 300
+    assert (0, 3) in spans and (1, 3) in spans
+    assert not any(2 in p for p in spans)
+
+    cont = {
+        (r["doc_id_contained"], r["doc_id_container"])
+        for r in containment_pairs(df, window=32).collect()
+    }
+    assert (3, 0) in cont and (3, 1) in cont
+
+
+def test_ngram_jaccard_pairs_small(spark):
+    t1 = " ".join(f"w{i}" for i in range(50))
+    t2 = " ".join(f"w{i}" if i != 25 else "CHANGED" for i in range(50))
+    t3 = " ".join(f"q{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t3)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert set(got) == {(1, 2)}
+    # 46 shingles each, 5 changed per side → 41/51
+    assert got[(1, 2)] == pytest.approx(41 / 51, abs=1e-6)
