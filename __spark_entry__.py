@@ -258,6 +258,30 @@ def _q_duplicated_spans(spark, sf):
     return duplicated_spans(_t(spark, sf, "documents"), min_len=64)
 
 
+def _q_embedding_cosine_pairs(spark, sf):
+    """Exhaustive cosine-threshold pairs (the LSH variant's oracle)."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("eb"))
+    da = F.transform(F.col("ea"), lambda x: x.cast("double"))
+    db = F.transform(F.col("eb"), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", F.round(dot / (na * nb), 9).alias("cosine"))
+        .where(F.col("cosine") >= 0.45)
+    )
+
+
+def _q_embedding_dup_pairs_lsh(spark, sf):
+    from datasketches_rust_spark.operators.ann import embedding_dup_pairs
+
+    return embedding_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -286,6 +310,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_sketch_quantiles": _q_tdigest_sketch,
         "frequent_items_sketch": _q_frequent_sketch,
         "duplicated_spans": _q_duplicated_spans,
+        "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
     }
 
 
@@ -415,5 +441,16 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
   FROM scored) WHERE rank <= 5
+""",
+        "embedding_cosine_pairs": """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+             / (a.nrm * b.nrm), 9) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+            / (a.nrm * b.nrm), 9) >= 0.45
 """,
     }

@@ -78,23 +78,61 @@ def ensure_bench_corpus(spark) -> str:
     return path
 
 
+def build_pyfiles_zip() -> str:
+    """Package datasketches_rust_spark for spark-submit --py-files."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(CACHE, exist_ok=True)
+    zpath = os.path.join(CACHE, "datasketches_rust_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        pkg = os.path.join(repo, "datasketches_rust_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, repo))
+    return zpath
+
+
+def _spark_submit() -> str:
+    for cand in (
+        os.path.join(os.environ.get("SPARK_HOME", ""), "bin", "spark-submit"),
+        "/opt/spark/bin/spark-submit",
+    ):
+        if cand and os.path.exists(cand):
+            return cand
+    return "spark-submit"
+
+
 def scaling_run(corpus_path: str) -> dict:
     lo, hi = SCALE_LEVELS
+    zpath = build_pyfiles_zip()
+    env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
     out = {}
     for cpus in (lo, hi):
-        # pin the whole child tree (JVM + python workers) to exactly N CPUs,
+        # spark-submit --py-files per the deployment contract; taskset pins
+        # the whole child tree (JVM + python workers) to exactly N CPUs,
         # like a cgroup-limited executor — local[N] alone lets the JVM and
         # workers spill onto extra cores and corrupts the N-vs-4N comparison
         proc = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+            ["taskset", "-c", f"0-{cpus - 1}", _spark_submit(),
+             "--master", f"local[{cpus}]",
+             "--driver-memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+             "--py-files", zpath,
              os.path.join("scripts", "bench_dedup_child.py"), corpus_path, str(cpus)],
             capture_output=True,
             text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
             timeout=1800,
+            env=env,
         )
-        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        out[cpus] = json.loads(line)
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            raise RuntimeError(f"bench child ({cpus} cpus) failed:\n{proc.stderr[-2000:]}")
+        out[cpus] = json.loads(lines[-1])
     t_lo = out[lo]["files"] / out[lo]["wall"]
     t_hi = out[hi]["files"] / out[hi]["wall"]
     ratio = hi / lo

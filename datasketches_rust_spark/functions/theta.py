@@ -84,6 +84,29 @@ def theta_estimate(sketch: Column) -> Column:
     )
 
 
+def theta_bounds(sketch: Column, num_std_devs: int = 2) -> Column:
+    """(lower, estimate, upper) struct at 1/2/3 sigma.
+
+    The reference computes exact binomial confidence bounds
+    (common/binomial_bounds.rs:288-342); for retained >= ~16 those converge
+    to the normal approximation used here:
+    bound = retained / (theta_frac * (1 ± z/sqrt(retained))).
+    Exact-mode sketches (theta == MAX) get lower = estimate = upper, same
+    as the reference's exact-mode shortcut.
+    """
+    z = F.lit(float(num_std_devs))
+    est = theta_estimate(sketch)
+    r = sketch["retained"].cast("double")
+    theta_frac = sketch["theta"].cast("double") / F.lit(float(1 << 63))
+    exact = sketch["theta"] == F.lit(MAX_THETA63)
+    rel = z / F.sqrt(F.greatest(r, F.lit(1.0)))
+    lb = F.when(exact, est).otherwise(r / (theta_frac * (F.lit(1.0) + rel)))
+    ub = F.when(exact, est).otherwise(
+        r / (theta_frac * F.greatest(F.lit(1.0) - rel, F.lit(1e-9)))
+    )
+    return F.struct(lb.alias("lower"), est.alias("estimate"), ub.alias("upper"))
+
+
 def _min_theta(a: Column, b: Column) -> Column:
     return F.least(a["theta"], b["theta"])
 

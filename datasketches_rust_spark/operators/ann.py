@@ -104,6 +104,56 @@ def _sign_bands(vec_col: Column, planes: np.ndarray, band_bits: int) -> Column:
     return F.array(bands)
 
 
+def embedding_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    band_bits: int = 8,
+    seed: int = 9001,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold).
+
+    Scale path: random-hyperplane LSH self-join for candidates (a pair at
+    cosine c collides per band with prob ((1 - acos(c)/pi)^band_bits), then
+    exact cosine verify — the embedding analog of MinHash-LSH + Jaccard
+    verify."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    vb = vectors.select(
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.explode(_sign_bands(F.col(vec_col), planes, band_bits)).alias("__band"),
+    ).withColumn("__n", _norm(F.col("__v")))
+    a, b = vb.alias("a"), vb.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("va"),
+            F.col("b.__v").alias("vb"),
+            F.col("a.__n").alias("na"),
+            F.col("b.__n").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -8,10 +8,14 @@ scales with executors on a real cluster).
 """
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+try:  # normally provided by spark-submit --py-files
+    import datasketches_rust_spark  # noqa: F401
+except ImportError:  # plain-python fallback for local debugging
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from datasketches_rust_spark.config import PipelineConfig
 from datasketches_rust_spark.plans.pipeline import DedupPipeline

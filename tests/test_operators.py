@@ -151,6 +151,83 @@ def test_duplicated_spans_and_containment(spark):
     assert (3, 0) in cont and (3, 1) in cont
 
 
+def test_theta_bounds_bracket_truth(spark):
+    from datasketches_rust_spark.functions.theta import theta_bounds
+
+    df = spark.range(50_000).select(F.col("id").alias("v"))
+    row = (
+        theta_sketch_agg(df, [], "v", k=1024)
+        .select(theta_bounds(F.col("sketch"), 2).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert row["lower"] <= 50_000 <= row["upper"]
+    assert row["lower"] <= row["estimate"] <= row["upper"]
+    # exact mode: all three equal
+    row = (
+        theta_sketch_agg(df.where("v < 500"), [], "v", k=1024)
+        .select(theta_bounds(F.col("sketch"), 2).alias("b"))
+        .collect()[0]["b"]
+    )
+    assert row["lower"] == row["estimate"] == row["upper"] == 500.0
+
+
+def test_multimodal_plumbing(spark):
+    import pytest as _pytest
+
+    from datasketches_rust_spark.operators.multimodal import (
+        attach_media_meta,
+        extract_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (1, bytes.fromhex("89504e47") + b"fakepng" * 50),
+        (2, bytes.fromhex("ffd8ffe0") + b"fakejpg" * 50),
+        (3, bytes.fromhex("89504e47") + b"fakepng" * 50),  # dup of 1
+        (4, b""),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, blob binary")
+    meta = {r["asset_id"]: r["media_meta"] for r in attach_media_meta(df, "blob").collect()}
+    assert meta[1]["format"] == "png" and meta[2]["format"] == "jpeg"
+    assert meta[1]["n_bytes"] == 4 + 7 * 50
+
+    feats = {r["asset_id"]: r["features"] for r in extract_features(df, "blob", "asset_id").collect()}
+    assert feats[1] == feats[3]  # deterministic → identical bytes dedup by feature
+    assert feats[1] != feats[2]
+    assert len(feats[1]) == 16 and abs(sum(feats[1]) - 1.0) < 1e-9
+
+    with _pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(df, "blob", "asset_id", decoder="stub").collect()
+
+    plan = frame_sample_plan(
+        spark.createDataFrame([(1, 300)], "vid long, n_frames long"), "vid", "n_frames"
+    ).collect()[0]
+    assert plan["frame_indices"] == [0, 30, 60, 90, 120, 150, 180, 210]
+
+
+def test_embedding_dup_pairs(spark):
+    rng = np.random.default_rng(17)
+    base = rng.standard_normal((50, 64)).astype(np.float32)
+    near = base[0] + rng.standard_normal(64).astype(np.float32) * 0.01
+    rows = [(i, v.tolist()) for i, v in enumerate(base)] + [(99, near.tolist())]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from datasketches_rust_spark.operators.ann import embedding_dup_pairs
+
+    got = {(r["vec_id_a"], r["vec_id_b"]) for r in embedding_dup_pairs(df, 0.95).collect()}
+    assert got == {(0, 99)}
+
+
+def test_scan_column_pruning(spark):
+    """Catalyst must prune the parquet scan to the referenced columns."""
+    from datasketches_rust_spark.functions.textops import token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = token_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
+
+
 def test_ngram_jaccard_pairs_small(spark):
     t1 = " ".join(f"w{i}" for i in range(50))
     t2 = " ".join(f"w{i}" if i != 25 else "CHANGED" for i in range(50))
