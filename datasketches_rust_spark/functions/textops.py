@@ -65,7 +65,9 @@ def ngram_jaccard_pairs(
     explode → self-equi-join on shingle hash → pair group-count →
     |A∩B| / (|A|+|B|-|A∩B|).
     """
-    ex = _exploded_shingles(docs, id_col, text_col, width)
+    # the exploded frame feeds three consumers (sizes + both join sides):
+    # cut lineage so tokenization+shingling runs once, not three times
+    ex = _exploded_shingles(docs, id_col, text_col, width).localCheckpoint(eager=False)
     sizes = ex.groupBy("__id").agg(F.count("*").alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (

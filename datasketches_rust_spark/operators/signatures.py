@@ -23,13 +23,14 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig
 from ..sigkit.kmv import kmv_signatures
 from ..sigkit.oph import band_hashes, oph_minhashes
 from ..sigkit.simhash import simhash64
-from ..sigkit.tokenize import shingle_hashes
+from ..sigkit.tokenize import shingle_hashes, shingle_hashes_buf
 
 SIGNATURE_SCHEMA = (
     "file_id string, content_sha string, "
@@ -65,11 +66,78 @@ def signature_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     )
 
 
+def _arrow_string_to_buf(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(uint8 buffer, (n+1,) int64 offsets) view of an Arrow string column.
+
+    Zero-copy except the int32→int64 offset upcast: the UTF-8 bytes are
+    numpy views of the Arrow data buffer — no per-doc Python objects.
+    """
+    if pa.types.is_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int64)[arr.offset : arr.offset + len(arr) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)
+        if bufs[2] is not None
+        else np.empty(0, dtype=np.uint8)
+    )
+    lo, hi = int(offs[0]), int(offs[-1])
+    return data[lo:hi], offs - lo
+
+
+def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), pa.array(values.astype(np.int64))
+    )
+
+
+def signature_record_batch(rb: pa.RecordBatch, cfg: PipelineConfig) -> pa.RecordBatch:
+    """Arrow-native signature kernel: UTF-8 bytes never become Python strs."""
+    n = rb.num_rows
+    content = rb.column(rb.schema.get_field_index("content"))
+    buf, doc_offs = _arrow_string_to_buf(content)
+    vals, offs = shingle_hashes_buf(buf, doc_offs, cfg.shingle_width, cfg.seed)
+    sig_vals, sig_offs, theta, n_distinct = kmv_signatures(vals, offs, cfg.kmv_k)
+    sim = simhash64(vals, offs)
+    mh = oph_minhashes(vals, offs, cfg.num_perm, cfg.seed)
+    bh = band_hashes(mh, cfg.num_bands, cfg.band_rows, cfg.seed)
+
+    nonempty = n_distinct > 0
+    band_offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.where(nonempty, cfg.num_bands, 0), out=band_offs[1:])
+    band_vals = bh[nonempty].reshape(-1)
+
+    return pa.RecordBatch.from_arrays(
+        [
+            rb.column(rb.schema.get_field_index("file_id")),
+            rb.column(rb.schema.get_field_index("content_sha")),
+            pa.array(n_distinct),
+            _list_array(sig_vals.astype(np.int64), sig_offs),
+            pa.array(theta),
+            pa.array(sim),
+            _list_array(band_vals, band_offs),
+            pa.array(np.full(n, cfg.cfg_hash(), dtype=np.int64)),
+        ],
+        names=[
+            "file_id",
+            "content_sha",
+            "n_shingles",
+            "minhash_kmv",
+            "theta64",
+            "simhash64",
+            "bands",
+            "cfg_hash",
+        ],
+    )
+
+
 def compute_signatures(corpus: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """corpus(repo, path, commit, lang, content) → signature table.
 
     Map-side only: the plan is Scan → Project(sha2, codegen) →
-    MapInPandas — zero exchanges, so it scales linearly with input splits.
+    MapInArrow — zero exchanges, so it scales linearly with input splits;
+    the kernel reads document bytes directly from Arrow buffers (no
+    pandas/str materialization).
     """
     with_ids = corpus.select(
         F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
@@ -77,9 +145,9 @@ def compute_signatures(corpus: DataFrame, cfg: PipelineConfig) -> DataFrame:
         "content",
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield signature_batch(pdf, cfg)
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if rb.num_rows:
+                yield signature_record_batch(rb, cfg)
 
-    return with_ids.mapInPandas(run, schema=SIGNATURE_SCHEMA)
+    return with_ids.mapInArrow(run, schema=SIGNATURE_SCHEMA)

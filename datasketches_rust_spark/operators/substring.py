@@ -49,22 +49,27 @@ def rolling_window_hashes(text: bytes, window: int) -> np.ndarray:
     return (s[i + window] - s[i]) * coef
 
 
-def _hash_batches(id_col: str, text_col: str, window: int, mode: str):
+def _hash_batches(id_col: str, text_col: str, window: int):
+    """One pass emitting every window hash, prefix rows flagged __p=1."""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, hashes = [], []
+            ids, hashes, flags = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 h = rolling_window_hashes(str(txt).encode("utf-8"), window)
                 if len(h) == 0:
                     continue
-                h = h[:1] if mode == "prefix" else np.unique(h)
-                ids.append(np.repeat(np.asarray([did]), len(h)))
-                hashes.append(h.view(np.int64))
+                prefix = h[0]
+                u = np.unique(h)
+                ids.append(np.repeat(np.asarray([did]), len(u)))
+                hashes.append(u.view(np.int64))
+                flags.append((u == prefix).astype(np.int8))
             if ids:
                 yield pd.DataFrame(
                     {
                         "__id": np.concatenate(ids),
                         "__h": np.concatenate(hashes),
+                        "__p": np.concatenate(flags),
                     }
                 )
 
@@ -80,11 +85,14 @@ def containment_pairs(
     """(id_a contained-in id_b) pairs, exact-verified. Requires every doc
     length >= window (true for all engine inputs; see module doc)."""
     base = docs.select(F.col(id_col), F.col(text_col))
-    id_t, text_t = base.schema[0].dataType.simpleString(), "string"
-    schema = f"__id {id_t}, __h long"
+    id_t = base.schema[0].dataType.simpleString()
+    schema = f"__id {id_t}, __h long, __p tinyint"
 
-    windows = base.mapInPandas(_hash_batches(id_col, text_col, window, "windows"), schema)
-    prefixes = base.mapInPandas(_hash_batches(id_col, text_col, window, "prefix"), schema)
+    # one kernel pass over the corpus, reused for both join sides
+    hashed = base.mapInPandas(_hash_batches(id_col, text_col, window), schema)
+    hashed = hashed.localCheckpoint(eager=False)
+    windows = hashed.select("__id", "__h")
+    prefixes = hashed.where(F.col("__p") == 1).select("__id", "__h")
 
     cands = (
         prefixes.alias("p")
@@ -164,7 +172,7 @@ def doc_fingerprints(
     base = docs.select(F.col(id_col), F.col(text_col))
     id_t = base.schema[0].dataType.simpleString()
     windows = base.mapInPandas(
-        _hash_batches(id_col, text_col, window, "windows"), f"__id {id_t}, __h long"
+        _hash_batches(id_col, text_col, window), f"__id {id_t}, __h long, __p tinyint"
     )
     return windows.groupBy("__id").agg(F.min("__h").alias("fingerprint")).withColumnRenamed(
         "__id", id_col

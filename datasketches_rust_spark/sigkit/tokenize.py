@@ -31,19 +31,29 @@ _TOKEN_BYTE[95] = True  # _
 
 
 def concat_docs(texts) -> tuple[np.ndarray, np.ndarray]:
-    """Concatenate docs with a NUL separator (never a token byte).
+    """Concatenate docs into a flat buffer (the Arrow string layout).
 
     Returns (flat uint8 buffer, (n+1,) int64 doc offsets into it).
     """
     bufs = [t.encode("utf-8") for t in texts]
     offsets = np.zeros(len(bufs) + 1, dtype=np.int64)
-    np.cumsum([len(b) + 1 for b in bufs], out=offsets[1:])
-    data = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
+    np.cumsum([len(b) for b in bufs], out=offsets[1:])
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
     return data, offsets
 
 
-def token_spans(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """(starts, lengths) of maximal token-byte runs in a flat buffer."""
+def token_spans(
+    buf: np.ndarray, doc_offsets: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, lengths) of maximal token-byte runs in a flat buffer.
+
+    When ``doc_offsets`` is given (documents packed back-to-back, Arrow
+    layout), runs straddling a document boundary are split at it — the
+    Python loop runs over *boundary-crossing spans* only (≤ n_docs per
+    batch), never over tokens.
+    """
+    if len(buf) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     mask = _TOKEN_BYTE[buf]
     prev = np.empty_like(mask)
     prev[0] = False
@@ -52,37 +62,76 @@ def token_spans(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     nxt[-1] = False
     nxt[:-1] = mask[1:]
     starts = np.nonzero(mask & ~prev)[0]
-    ends = np.nonzero(mask & ~nxt)[0]
-    return starts, ends - starts + 1
+    ends = np.nonzero(mask & ~nxt)[0] + 1  # exclusive
+
+    if doc_offsets is not None and len(starts):
+        inner = doc_offsets[1:-1]
+        # a span (s, e) crossing boundary b (s < b < e) splits into (s,b),(b,e)
+        span_of_b = np.searchsorted(starts, inner, side="right") - 1
+        crossing = (span_of_b >= 0) & (inner > starts[np.maximum(span_of_b, 0)]) & (
+            inner < ends[np.maximum(span_of_b, 0)]
+        )
+        if crossing.any():
+            # dedupe (span, cut) — empty docs repeat the same boundary
+            pairs = np.unique(
+                np.stack([span_of_b[crossing], inner[crossing]], axis=1), axis=0
+            )
+            new_starts = [starts]
+            new_ends = [ends]
+            # each crossing boundary adds one (cut, old_end) piece and
+            # truncates the owning span; right-to-left so multiple cuts in
+            # one span nest correctly (pieces are re-sorted below)
+            ends = ends.copy()
+            for sp, cut in pairs[::-1]:  # ≤ n_docs iterations
+                new_starts.append(np.array([cut]))
+                new_ends.append(np.array([ends[sp]]))
+                ends[sp] = cut
+            new_ends[0] = ends
+            starts = np.concatenate(new_starts)
+            ends = np.concatenate(new_ends)
+            keep = ends > starts
+            starts, ends = starts[keep], ends[keep]
+            order = np.argsort(starts, kind="stable")
+            starts, ends = starts[order], ends[order]
+
+    return starts, ends - starts
 
 
-def token_hash_stream(texts, seed: int) -> tuple[np.ndarray, np.ndarray]:
-    """Token hashes for a batch of docs.
+def token_hash_stream_buf(
+    buf: np.ndarray, doc_offsets: np.ndarray, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Token hashes for docs packed in one buffer (zero-copy Arrow path).
 
     Returns (token_hashes uint64, (n_docs+1,) int64 token offsets): doc i's
     tokens are ``hashes[tok_off[i]:tok_off[i+1]]`` in document order.
     """
-    buf, doc_offsets = concat_docs(texts)
-    starts, lengths = token_spans(buf)
+    n_docs = len(doc_offsets) - 1
+    starts, lengths = token_spans(buf, doc_offsets)
     hashes = xxh64_slices(buf, starts, lengths, seed)
-    # NUL separators guarantee no token spans a doc boundary
     tok_doc = np.searchsorted(doc_offsets, starts, side="right") - 1
-    tok_off = np.zeros(len(texts) + 1, dtype=np.int64)
-    np.cumsum(np.bincount(tok_doc, minlength=len(texts)), out=tok_off[1:])
+    tok_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(np.bincount(tok_doc, minlength=n_docs), out=tok_off[1:])
     return hashes, tok_off
 
 
-def shingle_hashes(
-    texts, width: int, seed: int
+def token_hash_stream(texts, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """List-of-strings wrapper around :func:`token_hash_stream_buf`."""
+    buf, doc_offsets = concat_docs(texts)
+    return token_hash_stream_buf(buf, doc_offsets, seed)
+
+
+def shingle_hashes_buf(
+    buf: np.ndarray, doc_offsets: np.ndarray, width: int, seed: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct, sorted 63-bit w-gram shingle hashes per document.
 
-    Returns (values uint64 in [1, 2^63), (n_docs+1,) int64 offsets).
+    Zero-copy core: ``buf``/``doc_offsets`` is the Arrow string-column
+    layout. Returns (values uint64 in [1, 2^63), (n_docs+1,) int64 offsets).
     A doc with 0 < n_tokens < width contributes one shingle over its whole
     token sequence; a doc with no tokens contributes none.
     """
-    n_docs = len(texts)
-    tok_hashes, tok_off = token_hash_stream(texts, seed)
+    n_docs = len(doc_offsets) - 1
+    tok_hashes, tok_off = token_hash_stream_buf(buf, doc_offsets, seed)
     n_tok_per_doc = np.diff(tok_off)
 
     shingle_vals = []
@@ -144,3 +193,9 @@ def shingle_hashes(
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(np.bincount(docs, minlength=n_docs), out=offsets[1:])
     return vals, offsets
+
+
+def shingle_hashes(texts, width: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """List-of-strings wrapper around :func:`shingle_hashes_buf`."""
+    buf, doc_offsets = concat_docs(texts)
+    return shingle_hashes_buf(buf, doc_offsets, width, seed)
