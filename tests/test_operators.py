@@ -228,6 +228,21 @@ def test_scan_column_pruning(spark):
     assert "source" not in read_schema and "n_chars" not in read_schema
 
 
+def test_connected_components_shapes(spark):
+    """Path graph (worst diameter), disjoint cliques, isolated roots."""
+    from datasketches_rust_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    chain = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)]
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    edges = spark.createDataFrame(chain + clique, "src string, dst string")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert {got[f"n{i:03d}"] for i in range(61)} == {"n000"}
+    assert {got[f"c{i}"] for i in range(5)} == {"c0"}
+    assert len(got) == 66
+
+
 def test_ngram_jaccard_pairs_small(spark):
     t1 = " ".join(f"w{i}" for i in range(50))
     t2 = " ".join(f"w{i}" if i != 25 else "CHANGED" for i in range(50))

@@ -164,6 +164,17 @@ def test_union_merge_commutative_associative():
     assert t1 == int(t3[0]) and np.array_equal(s1, s3)
 
 
+def test_theta_estimate_cross_impl_tolerance():
+    """Estimate within 3% of true n up to 10^6 — the reference's TCK
+    tolerance (tests/serde_tests/theta.rs:29-35, :74-95)."""
+    k = 4096  # default lg_k=12
+    for n in (1, 10, 100, 1000, 10_000, 100_000, 1_000_000):
+        h = np.unique(xxh64_u64(np.arange(n, dtype=np.uint64), seed=9001) >> np.uint64(1))
+        sig, _, theta, _ = kmv_signatures(h, np.array([0, len(h)]), k)
+        est = estimate(np.array([len(sig)]), theta)[0]
+        assert est == pytest.approx(n, rel=0.03), (n, est)
+
+
 # ---------------------------------------------------------------- simhash
 
 def test_simhash_identical_and_near():
