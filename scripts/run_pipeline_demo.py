@@ -40,6 +40,19 @@ def main(n_files: int = 5000) -> None:
     print(f"files={n_files} clusters={n_clusters} dup_files={dup_files}")
     print(f"truth_pairs(J>={cfg.jaccard_threshold})={len(must)} recall={recall:.4f}")
     assert recall >= 0.99, "recall below contract"
+
+    # precision: predicted same-cluster pairs vs truth at a slack threshold
+    # (accepting J in [thr-2σ, thr) is by design — see operators/verify.py)
+    import itertools
+
+    predicted = set()
+    for _, grp in pdf.groupby("cluster_id"):
+        seqs = sorted(grp.file_seq.tolist())
+        predicted.update(itertools.combinations(seqs, 2))
+    ok = set(map(tuple, truth[truth.true_jaccard >= 0.7][["seq_a", "seq_b"]].values))
+    if predicted:
+        precision = len(predicted & ok) / len(predicted)
+        print(f"predicted_pairs={len(predicted)} precision(J>=0.7)={precision:.4f}")
     print("PIPELINE DEMO OK")
     spark.stop()
 
