@@ -84,17 +84,16 @@ def candidate_pairs(reps: DataFrame, cfg) -> DataFrame:
     )
 
     big = keyed.where(F.col("bucket_n") > cfg.max_bucket_size)
+    # join-based star (no collect_list): a 10^8-member bucket must never be
+    # materialized inside one aggregation row — the hub relation is one row
+    # per bucket and the join streams members through
+    hubs = big.groupBy("band", "bhash").agg(F.min("content_sha").alias("hub"))
     big_pairs = (
-        big.groupBy("band", "bhash")
-        .agg(
-            F.min("content_sha").alias("hub"),
-            F.collect_list("content_sha").alias("members"),
-        )
-        .select(F.col("hub"), F.explode("members").alias("member"))
-        .where(F.col("hub") != F.col("member"))
+        big.join(hubs, ["band", "bhash"])
+        .where(F.col("content_sha") != F.col("hub"))
         .select(
             F.col("hub").alias("sha_a"),
-            F.col("member").alias("sha_b"),
+            F.col("content_sha").alias("sha_b"),
         )
     )
 

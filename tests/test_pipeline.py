@@ -123,6 +123,34 @@ def test_checkpoint_resume_identical_and_reused(spark, corpus, tmp_path):
     assert not m3[m3.input_fingerprint.str.startswith(str(CFG.with_(kmv_k=128).cfg_hash()))].reused.any()
 
 
+def test_hot_lsh_bucket_star_path(spark):
+    """Hundreds of *distinct* near-identical contents (post-exact-collapse
+    hot bucket) must exceed max_bucket_size, exercise the star path, and
+    still form one cluster with full recall."""
+    base = " ".join(f"tok{i}" for i in range(400))
+    rows = []
+    for i in range(300):
+        # one unique token appended → distinct contents, J ≈ 396/398 ≈ 0.995
+        rows.append((f"org/r{i}", f"src/f{i}.py", f"{i:040x}", "python",
+                     base + f" unique_{i}"))
+    for i in range(50):  # unrelated controls
+        rows.append((f"org/u{i}", f"src/u{i}.py", f"{i:040x}", "python",
+                     " ".join(f"zz{i}_{j}" for j in range(400))))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    cfg = CFG.with_(max_bucket_size=50)  # force the star path
+    out = DedupPipeline(spark, cfg).run(corpus).toPandas()
+    near = out[out.file_id.isin(
+        out.merge(corpus.select(
+            F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
+            "path").toPandas(), on="file_id").query("path.str.startswith('src/f')").file_id
+    )]
+    assert near.cluster_id.nunique() == 1, "hot bucket must collapse to one cluster"
+    ctrl = out[~out.file_id.isin(near.file_id)]
+    assert ctrl.cluster_id.nunique() == len(ctrl), "controls must stay singletons"
+
+
 def test_signature_stage_is_shuffle_free(spark, corpus):
     """The stage-1 physical plan must contain no Exchange (map-side only)."""
     from datasketches_rust_spark.operators.signatures import compute_signatures
