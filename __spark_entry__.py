@@ -170,7 +170,10 @@ def _q_tuple_distinct_sum(spark, sf):
 def _q_frequent_events(spark, sf):
     ev = _t(spark, sf, "events")
     total = ev.count()
-    return frequent_items(ev, "event_type", threshold=int(total * 0.15))
+    # float threshold — the oracle's HAVING count(*) >= total*0.15 is
+    # un-truncated, so flooring here would disagree when total*0.15 is
+    # fractional and a count lands in the gap
+    return frequent_items(ev, "event_type", threshold=total * 0.15)
 
 
 def _q_countmin(spark, sf):
@@ -241,8 +244,20 @@ def _q_ann_topk_lsh(spark, sf):
 def _q_tdigest_sketch(spark, sf):
     from datasketches_rust_spark.functions.sketch_aggs import tdigest_agg
 
-    return tdigest_agg(
-        _t(spark, sf, "orders"), ["o_orderstatus"], "o_totalprice", quantiles=[0.5, 0.9, 0.99]
+    # delta >> pi * rows-per-group => the k1 cap never merges two points,
+    # every centroid is a singleton and the t-digest midpoint interpolation
+    # (tdigest/sketch.rs:391) is exact — hence SQL-expressible (see oracle).
+    # Estimation-mode behavior (delta=200) is pinned by tests/test_sigkit.py.
+    out = tdigest_agg(
+        _t(spark, sf, "orders"),
+        ["o_orderstatus"],
+        "o_totalprice",
+        quantiles=[0.5, 0.9, 0.99],
+        delta=1e7,
+    )
+    return out.select(
+        "o_orderstatus",
+        *[F.round(F.col(c), 4).alias(c) for c in ("p50", "p90", "p99")],
     )
 
 
@@ -423,6 +438,37 @@ SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
        round(quantile_cont(o_totalprice, 0.99), 4) AS p99
 FROM orders GROUP BY 1
+""",
+        # exact-mode t-digest (all singleton centroids): quantile is the
+        # midpoint interpolation over order statistics — positions
+        # cum_i = i - 0.5, target = q * n, linear between brackets, clamped
+        # at the ends (tdigest/sketch.rs:391 with unit weights).
+        "tdigest_sketch_quantiles": """
+WITH s AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) - 0.5 AS cum,
+         count(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders),
+t AS (SELECT s.*, p, p * n AS target
+      FROM s, (SELECT unnest([0.5, 0.9, 0.99]) AS p)),
+b AS (SELECT o_orderstatus, p,
+        max(CASE WHEN cum <= target THEN cum END) AS c0,
+        max(CASE WHEN cum <= target THEN v END) AS v0,
+        min(CASE WHEN cum >= target THEN cum END) AS c1,
+        min(CASE WHEN cum >= target THEN v END) AS v1,
+        any_value(target) AS tgt
+      FROM t GROUP BY 1, 2),
+q AS (SELECT o_orderstatus, p,
+        CASE WHEN c0 IS NULL THEN v1
+             WHEN c1 IS NULL THEN v0
+             WHEN c1 = c0 THEN v0
+             ELSE v0 + (tgt - c0) / (c1 - c0) * (v1 - v0) END AS qv
+      FROM b)
+SELECT o_orderstatus,
+       round(max(CASE WHEN p = 0.5 THEN qv END), 4) AS p50,
+       round(max(CASE WHEN p = 0.9 THEN qv END), 4) AS p90,
+       round(max(CASE WHEN p = 0.99 THEN qv END), 4) AS p99
+FROM q GROUP BY 1
 """,
         "bloom_semijoin": """
 SELECT CAST(count(*) AS BIGINT) AS n_matched FROM lineitem

@@ -39,8 +39,19 @@ def tdigest_agg(
     value_col: str,
     quantiles: list[float],
     delta: float = 200.0,
+    col_names: list[str] | None = None,
 ) -> DataFrame:
-    """(group..., quantiles array<double>) via distributed t-digest."""
+    """(group..., p50 double, p90 double, ...) via distributed t-digest.
+
+    One scalar double column per requested quantile (named ``p{100q}`` by
+    default) — flat, hashable rows, mirroring the exact-percentile
+    ``tdigest_quantiles`` shape. With delta > pi * n the k1 cap never lets
+    two points merge, every centroid stays a singleton and the interpolated
+    quantile is exact (and SQL-expressible). Round with F.round downstream
+    (Python round() is banker's; SQL round is half-away-from-zero).
+    """
+    if col_names is None:
+        col_names = [f"p{round(q * 100)}" for q in quantiles]
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
     gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
@@ -61,14 +72,18 @@ def tdigest_agg(
 
     part = base.mapInPandas(partials, part_schema)
 
-    out_schema = f"{gschema}, quantiles array<double>"
+    out_schema = gschema + ", " + ", ".join(f"{c} double" for c in col_names)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        d = TDigest(delta)
-        for m, w in zip(pdf["means"], pdf["weights"]):
-            d.merge(TDigest.from_rows(delta, m, w))
+        # one concat + one compress (the reference's buffer-then-compress
+        # merge, tdigest/sketch.rs:235-259) instead of P sequential merges
+        d = TDigest.from_rows(
+            delta,
+            np.concatenate([np.asarray(m, dtype=np.float64) for m in pdf["means"]]),
+            np.concatenate([np.asarray(w, dtype=np.float64) for w in pdf["weights"]]),
+        )
         qs = [d.quantile(q) for q in quantiles]
-        return pd.DataFrame([(*key, qs)], columns=[*gcols, "quantiles"])
+        return pd.DataFrame([(*key, *qs)], columns=[*gcols, *col_names])
 
     out = part.groupBy(*gcols).applyInPandas(final, out_schema)
     return out.drop(_GRP) if not group_cols else out

@@ -105,9 +105,12 @@ def bloom_might_contain(
     marked = ex.join(
         F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left"
     )
+    # count("*") (all exploded positions), not lit(num_hashes): duplicate
+    # probe rows collapse into one group with a multiple of k positions, and
+    # the contract is "every position hit", not "exactly k hits".
     return (
         marked.groupBy(*probe.columns)
-        .agg((F.count("__hit") == F.lit(num_hashes)).alias("might_contain"))
+        .agg((F.count("__hit") == F.count("*")).alias("might_contain"))
     )
 
 

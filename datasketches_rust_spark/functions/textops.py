@@ -90,11 +90,15 @@ def ngram_jaccard_pairs(
 
 
 def exact_dedup_map(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Every doc mapped to the min-id representative of identical text."""
-    w = Window.partitionBy(text_col)
-    return docs.select(
-        F.col(id_col), F.min(id_col).over(w).alias("rep_id")
-    )
+    """Every doc mapped to the min-id representative of identical text.
+
+    Partitions the window by sha2(text) projected *before* the exchange, so
+    the shuffle carries (id, 32-byte digest) rows — never the document
+    content itself. Identical output to windowing over raw text.
+    """
+    d = docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("__sha"))
+    w = Window.partitionBy("__sha")
+    return d.select(F.col(id_col), F.min(id_col).over(w).alias("rep_id"))
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -44,7 +44,14 @@ def oph_minhashes(
         bucket = (xxh64_u64(values, seed ^ _BUCKET_SEED_XOR) % np.uint64(num_perm)).astype(
             np.int64
         )
-        np.minimum.at(m, doc_ids * num_perm + bucket, values)
+        # segment-min via lexsort + first-of-group: contiguous sorted fold
+        # beats np.minimum.at's scattered writes on this box (CLAUDE.md).
+        flat = doc_ids * num_perm + bucket
+        order = np.lexsort((values, flat))
+        fs, vs = flat[order], values[order]
+        first = np.ones(len(fs), dtype=bool)
+        first[1:] = fs[1:] != fs[:-1]
+        m[fs[first]] = vs[first]
     m = m.reshape(n_docs, num_perm)
 
     # rotation densification: fill each empty bucket from the nearest

@@ -23,14 +23,19 @@ def simhash64(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     n_docs = len(offsets) - 1
     counts = np.diff(offsets)
     out = np.zeros(n_docs, dtype=np.uint64)
-    if len(values) == 0:
+    if len(values) == 0 or n_docs == 0:
         return out.view(np.int64)
     nonempty = counts > 0
-    # reduceat needs segment starts clipped to valid range; empty segments
-    # are masked out afterwards.
-    starts = np.minimum(offsets[:-1], len(values) - 1)
+    # A zero sentinel keeps every offset a valid reduceat index (a trailing
+    # empty segment's start == len(values)) WITHOUT clipping — clipping the
+    # next segment's start truncates the previous segment's sum. The
+    # sentinel contributes 0 to every bit count, so segment sums that run
+    # to the end of the array are unchanged; empty segments are masked.
+    ext = np.concatenate([values.astype(np.uint64, copy=False),
+                          np.zeros(1, dtype=np.uint64)])
+    starts = offsets[:-1]
     for j in range(64):
-        bit = (values >> np.uint64(j)) & np.uint64(1)
+        bit = (ext >> np.uint64(j)) & np.uint64(1)
         seg = np.add.reduceat(bit, starts)
         hit = (2 * seg >= counts) & nonempty
         out |= hit.astype(np.uint64) << np.uint64(j)

@@ -115,6 +115,24 @@ class TDigest:
         r = float(np.interp(value, self.means, cum, left=0.0, right=total))
         return r / total
 
+    def cdf(self, split_points: np.ndarray) -> np.ndarray:
+        """rank() at each split point (tdigest/sketch.rs:309 semantics):
+        monotone array of P(X <= s) estimates, one per split point."""
+        self.compress()
+        total = self.total_weight
+        sp = np.asarray(split_points, dtype=np.float64)
+        if total == 0:
+            return np.full(len(sp), np.nan)
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        return np.interp(sp, self.means, cum, left=0.0, right=total) / total
+
+    def pmf(self, split_points: np.ndarray) -> np.ndarray:
+        """Probability mass between consecutive split points
+        (tdigest/sketch.rs:333): len(split_points)+1 bin masses,
+        bins (-inf, s0], (s0, s1], ..., (s_last, +inf); sums to 1."""
+        c = self.cdf(split_points)
+        return np.diff(np.concatenate([[0.0], c, [1.0]]))
+
     def to_rows(self) -> tuple[list, list]:
         self.compress()
         return self.means.tolist(), self.weights.tolist()

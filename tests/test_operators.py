@@ -68,7 +68,7 @@ def test_tdigest_agg_distributed(spark):
         [(int(i % 2), float(v)) for i, v in enumerate(vals)], "g int, v double"
     ).repartition(8)
     out = {
-        r["g"]: r["quantiles"]
+        r["g"]: (r["p50"], r["p90"])
         for r in tdigest_agg(df, ["g"], "v", quantiles=[0.5, 0.9]).collect()
     }
     for g in (0, 1):
@@ -106,6 +106,13 @@ def test_countmin_and_bloom(spark):
     assert all(got[v] for v in range(100))  # no false negatives ever
     fp = sum(got[v] for v in range(100, 1000))
     assert fp <= 5  # sized for tiny fpp
+
+    # non-distinct probes: duplicate rows collapse into one group whose
+    # exploded position count is a multiple of k — contract must hold
+    dup_probe = probe.union(probe.where("v < 50"))
+    dup_flags = bloom_might_contain(dup_probe, "v", bits, num_bits=1 << 16, num_hashes=5)
+    dup_got = {r["v"]: r["might_contain"] for r in dup_flags.collect()}
+    assert all(dup_got[v] for v in range(100))
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark):

@@ -252,3 +252,49 @@ def test_oph_densification_preserves_valid_and_tracks_jaccard():
 def test_oph_empty_doc_rows():
     m = oph_minhashes(np.empty(0, np.uint64), np.array([0, 0]), CFG.num_perm, CFG.seed)
     assert (m == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_simhash_trailing_empty_doc_regression():
+    """A batch ending in empty docs must not truncate the last non-empty
+    doc's segment (the old clipped-reduceat bug dropped its final hash)."""
+    vals = np.array([1, 0, 1], dtype=np.uint64)
+    offs = np.array([0, 3, 3], dtype=np.int64)
+    sh = simhash64(vals, offs).view(np.uint64)
+    assert sh[0] == 1  # bit0 majority of [1,0,1] is 2/3 -> set
+    assert sh[1] == 0  # empty doc
+    # same property through the real tokenizer path
+    texts = [" ".join(f"tok{i}" for i in range(50)), ""]
+    v2, o2 = shingle_hashes(texts, width=5, seed=CFG.seed)
+    v1, o1 = shingle_hashes(texts[:1], width=5, seed=CFG.seed)
+    assert simhash64(v2, o2)[0] == simhash64(v1, o1)[0]
+
+
+def test_simhash_empty_between_docs():
+    texts = ["alpha beta gamma delta eps zeta", "", "one two three four five six"]
+    v, o = shingle_hashes(texts, width=5, seed=CFG.seed)
+    sh = simhash64(v, o)
+    for i, t in enumerate(texts):
+        vi, oi = shingle_hashes([t], width=5, seed=CFG.seed)
+        assert sh[i] == simhash64(vi, oi)[0]
+
+
+def test_oph_segment_min_matches_minimum_at():
+    """The lexsort+first-of-group fold must equal the np.minimum.at oracle."""
+    from datasketches_rust_spark.sigkit.oph import _BUCKET_SEED_XOR, _EMPTY
+
+    rng = np.random.default_rng(31337)
+    docs = [np.unique(rng.integers(1, 1 << 62, size=n).astype(np.uint64))
+            for n in (0, 1, 7, 300, 1000)]
+    vals = np.concatenate(docs)
+    offs = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum([len(d) for d in docs], out=offs[1:])
+    m = oph_minhashes(vals, offs, CFG.num_perm, CFG.seed)
+    # oracle: raw per-(doc,bucket) minima via minimum.at, then check every
+    # occupied bucket agrees (densified buckets checked elsewhere)
+    doc_ids = np.repeat(np.arange(len(docs)), np.diff(offs))
+    bucket = (xxh64_u64(vals, CFG.seed ^ _BUCKET_SEED_XOR) % np.uint64(CFG.num_perm)).astype(np.int64)
+    raw = np.full(len(docs) * CFG.num_perm, _EMPTY, dtype=np.uint64)
+    np.minimum.at(raw, doc_ids * CFG.num_perm + bucket, vals)
+    raw = raw.reshape(len(docs), CFG.num_perm)
+    occ = raw != _EMPTY
+    assert np.array_equal(m[occ], raw[occ])

@@ -99,3 +99,39 @@ def test_tdigest_nan_inf_ignored_and_edge():
     assert d.quantile(1.0) == 3.0
     empty = TDigest(100)
     assert np.isnan(empty.quantile(0.5))
+
+
+def test_tdigest_cdf_pmf():
+    rng = np.random.default_rng(11)
+    vals = rng.normal(0, 1, size=50_000)
+    d = TDigest(200)
+    d.update_batch(vals)
+    sp = np.array([-2.0, -1.0, 0.0, 1.0, 2.0])
+    c = d.cdf(sp)
+    assert np.all(np.diff(c) >= 0)
+    for s, got in zip(sp, c):
+        assert abs(got - (vals <= s).mean()) < 0.02
+    p = d.pmf(sp)
+    assert len(p) == len(sp) + 1
+    assert p.sum() == pytest.approx(1.0)
+    assert np.all(p >= 0)
+
+
+def test_tdigest_exact_mode_singletons():
+    """delta >> pi*n: no merging, quantile == midpoint interpolation of
+    the raw order statistics (the driver's oracle-matched config)."""
+    rng = np.random.default_rng(12)
+    vals = rng.uniform(0, 1000, size=2_000)
+    d = TDigest(1e7)
+    d.update_batch(vals)
+    d.compress()
+    assert len(d.means) == len(vals)
+    s = np.sort(vals)
+    n = len(s)
+    for q in (0.5, 0.9, 0.99):
+        cum = np.arange(n) + 0.5
+        target = q * n
+        i = int(np.searchsorted(cum, target) - 1)
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        expect = s[i] + frac * (s[i + 1] - s[i])
+        assert d.quantile(q) == pytest.approx(expect, rel=0, abs=1e-9)
