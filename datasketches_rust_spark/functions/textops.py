@@ -57,24 +57,72 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     width: int = 5,
     threshold: float = 0.8,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact token-w-gram Jaccard dedup: all pairs with J >= threshold.
 
-    Exhaustive (no LSH): the exact-verification counterpart of the sketch
-    pipeline, and the DuckDB-oracle-matched operator. Plan: shingle
-    explode → self-equi-join on shingle hash → pair group-count →
-    |A∩B| / (|A|+|B|-|A∩B|).
+    EXACT (no LSH, no false negatives) — the verification counterpart of
+    the sketch pipeline and the DuckDB-oracle-matched operator. The
+    default plan uses classic prefix filtering (Chaudhuri/Bayardo): under
+    a global order (the shingle hash), two sets with J >= t must share an
+    element within their floor((1-t)|A|)+1 smallest elements — proof: the
+    smallest common element x of A∩B has rank <= |A\\B|+1 <= (1-t)|A|+1 in
+    A, likewise in B. So the self-join runs on ~(1-t) of the shingles, a
+    length filter (t*na <= nb <= na/t) prunes further, and the full
+    intersection is counted only for surviving candidate pairs.
+    ``prefix_filter=False`` keeps the exhaustive self-join (the small-scale
+    cross-check path).
     """
-    # the exploded frame feeds three consumers (sizes + both join sides):
-    # cut lineage so tokenization+shingling runs once, not three times
+    # the exploded frame feeds several consumers: cut lineage so
+    # tokenization+shingling runs once
     ex = _exploded_shingles(docs, id_col, text_col, width).localCheckpoint(eager=False)
     sizes = ex.groupBy("__id").agg(F.count("*").alias("n"))
-    a, b = ex.alias("a"), ex.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__shh") == F.col("b.__shh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
-        .agg(F.count("*").alias("inter"))
-    )
+
+    if prefix_filter:
+        w = Window.partitionBy("__id").orderBy("__shh")
+        pref = (
+            ex.withColumn("__r", F.row_number().over(w))
+            .join(sizes, "__id")
+            .where(
+                F.col("__r")
+                <= F.floor(F.lit(1.0 - threshold) * F.col("n")) + F.lit(1)
+            )
+            .select("__id", "__shh", "n")
+        )
+        a, b = pref.alias("a"), pref.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.__shh") == F.col("b.__shh"))
+                & (F.col("a.__id") < F.col("b.__id"))
+                & (F.col("b.n") >= F.lit(threshold) * F.col("a.n"))
+                & (F.col("a.n") >= F.lit(threshold) * F.col("b.n")),
+            )
+            .select(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+            .distinct()
+        )
+        ea, eb = ex.alias("ea"), ex.alias("eb")
+        inter = (
+            cand.join(ea, F.col("ia") == F.col("ea.__id"))
+            .join(
+                eb,
+                (F.col("ib") == F.col("eb.__id"))
+                & (F.col("ea.__shh") == F.col("eb.__shh")),
+            )
+            .groupBy("ia", "ib")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        a, b = ex.alias("a"), ex.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.__shh") == F.col("b.__shh"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
+            .agg(F.count("*").alias("inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("__id", "ia").withColumnRenamed("n", "na"), "ia")
         .join(sizes.withColumnRenamed("__id", "ib").withColumnRenamed("n", "nb"), "ib")

@@ -35,20 +35,73 @@ def _h63(col) -> Column:
     return F.shiftrightunsigned(F.xxhash64(col), 1)
 
 
+def theta_prescreen(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int,
+    rsd: float = 0.02,
+    safety: float = 2.0,
+) -> DataFrame:
+    """Insert-time theta screen: (group..., __h) rows with __h <= theta_hat.
+
+    The reference screens candidates against theta at insert time
+    (common/hash_table.rs:160-163) so sketch state never exceeds O(k); a
+    Spark agg sees all rows before any truncation, so the screen becomes a
+    cheap pre-pass: approx_count_distinct per group -> theta_hat =
+    min(2^63-1, safety*k/D_hat * 2^63) -> filter. Any screen value >= the
+    true final theta (the (k+1)-th smallest hash, ~ (k+1)/D * 2^63 with
+    relative sd ~1/sqrt(k)) preserves the k smallest exactly, so
+    safety=2.0 leaves the sketch bit-identical w.p. 1 - exp(-Theta(k)).
+    Groups with D_hat <= 2*safety*k skip the screen (exact mode).
+    """
+    h = _h63(F.col(value_col))
+    base = df.select(*group_cols, h.alias("__h")).where(
+        h != 0  # zero-hash screening (hash_table.rs:160-163)
+    )
+    dhat = df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd).alias("__dhat")
+    )
+    that = (
+        F.when(F.col("__dhat") <= F.lit(int(2 * safety * k)), F.lit(MAX_THETA63))
+        .otherwise(
+            F.least(
+                F.lit(float(MAX_THETA63)),
+                F.lit(safety * k * float(1 << 63)) / F.col("__dhat"),
+            ).cast("long")
+        )
+        .alias("__that")
+    )
+    bounds = dhat.select(*group_cols, that)
+    if group_cols:
+        base = base.join(F.broadcast(bounds), group_cols)
+    else:
+        base = base.crossJoin(F.broadcast(bounds))
+    return base.where(F.col("__h") <= F.col("__that")).drop("__that")
+
+
 def theta_sketch_agg(
-    df: DataFrame, group_cols: list[str], value_col: str, k: int = 4096
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 4096,
+    screen: bool = True,
 ) -> DataFrame:
     """groupBy(group_cols) → theta sketch of distinct value_col per group.
 
-    Two-level salted aggregation bounds per-task state to (k+1) hashes per
-    (group, salt) shard — the distributed analog of per-shard sketch build
-    then union. Returns group_cols + ``sketch`` struct column.
+    ``theta_prescreen`` bounds agg input to ~safety*k rows per group (the
+    insert-time screen of hash_table.rs:160-163 as a filter pushed ahead of
+    the shuffle), then a two-level salted aggregation caps per-task state
+    at (k+1) hashes per (group, salt) shard — the distributed analog of
+    per-shard sketch build then union. Returns group_cols + ``sketch``.
     """
-    h = _h63(F.col(value_col)).alias("__h")
-    salt = F.pmod(F.xxhash64(F.col(value_col)), F.lit(_SALT_SHARDS)).alias("__salt")
+    if screen:
+        screened = theta_prescreen(df, group_cols, value_col, k)
+    else:
+        h = _h63(F.col(value_col))
+        screened = df.select(*group_cols, h.alias("__h")).where(h != 0)
     partial = (
-        df.select(*group_cols, h, salt)
-        .where(F.col("__h") != 0)  # zero-hash screening (hash_table.rs:160-163)
+        screened.withColumn("__salt", F.pmod(F.col("__h"), F.lit(_SALT_SHARDS)))
         .groupBy(*group_cols, "__salt")
         .agg(F.slice(F.array_sort(F.collect_set("__h")), 1, k + 1).alias("__part"))
     )

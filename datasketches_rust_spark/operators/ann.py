@@ -110,40 +110,37 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 32,
+    n_planes: int = 64,
     band_bits: int = 8,
     seed: int = 9001,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine >= threshold).
 
-    Scale path: random-hyperplane LSH self-join for candidates (a pair at
-    cosine c collides per band with prob ((1 - acos(c)/pi)^band_bits), then
-    exact cosine verify — the embedding analog of MinHash-LSH + Jaccard
-    verify."""
+    Scale path: random-hyperplane LSH for candidates (a pair at cosine c
+    collides per band with prob (1 - acos(c)/pi)^band_bits; defaults give
+    ~99% recall at c=0.95), then exact cosine verify — the embedding analog
+    of MinHash-LSH + Jaccard verify. The band join carries ids only through
+    the shared cap+star machinery (operators/buckets.py); vectors are
+    re-attached to the distinct pair set for the verify.
+    """
     planes = _hyperplanes(dim, n_planes, seed)
-    vb = vectors.select(
+    keys = vectors.select(
         F.col(id_col).alias("__id"),
-        _as_double(F.col(vec_col)).alias("__v"),
         F.explode(_sign_bands(F.col(vec_col), planes, band_bits)).alias("__band"),
-    ).withColumn("__n", _norm(F.col("__v")))
-    a, b = vb.alias("a"), vb.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("va"),
-            F.col("b.__v").alias("vb"),
-            F.col("a.__n").alias("na"),
-            F.col("b.__n").alias("nb"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    from .buckets import capped_bucket_pairs
+
+    pairs = capped_bucket_pairs(keys, ["__band"], "__id", max_bucket)
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
+    va = v.select(F.col("__vid").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    vb = v.select(F.col("__vid").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
     return (
-        cands.select(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             F.col("id_a").alias(f"{id_col}_a"),
             F.col("id_b").alias(f"{id_col}_b"),
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 9).alias(
@@ -161,36 +158,55 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 32,
-    band_bits: int = 8,
+    n_planes: int = 64,
+    band_bits: int = 4,
     seed: int = 9001,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates share >= 1 hyperplane-sign band."""
+    """Approximate cosine top-k: candidates share >= 1 hyperplane-sign band.
+
+    The band join carries (query_id, neighbor_id) only; vectors are
+    re-attached to the distinct candidate set before scoring, so the
+    shuffle payload is two ids per row. Buckets with more than
+    ``max_bucket`` corpus members are dropped from candidate generation —
+    a band code shared by a huge corpus fraction has no selectivity, and
+    dropping it bounds per-query candidate volume.
+    """
     planes = _hyperplanes(dim, n_planes, seed)
 
-    vb = vectors.select(
+    vkeys = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__v"),
         F.explode(_sign_bands(F.col(vec_col), planes, band_bits)).alias("__band"),
-    ).withColumn("__vn", _norm(F.col("__v")))
-    qb = queries.select(
+    )
+    sizes = vkeys.groupBy("__band").agg(F.count("*").alias("__bn"))
+    vkeys = vkeys.join(sizes, "__band").where(F.col("__bn") <= max_bucket).drop("__bn")
+    qkeys = queries.select(
         F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("__q"),
         F.explode(_sign_bands(F.col(vec_col), planes, band_bits)).alias("__band"),
-    ).withColumn("__qn", _norm(F.col("__q")))
-
+    )
     cands = (
-        vb.join(qb, "__band")
+        vkeys.join(F.broadcast(qkeys), "__band")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__q", "__v", "__qn", "__vn")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        F.round(_dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 9).alias(
-            "cosine"
-        ),
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__vn", _norm(F.col("__v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__q")
+    ).withColumn("__qn", _norm(F.col("__q")))
+    scored = (
+        cands.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 9
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

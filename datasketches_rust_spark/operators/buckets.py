@@ -1,0 +1,68 @@
+"""Shared skew-safe bucket→candidate-pair machinery.
+
+Every LSH-family operator (MinHash bands, SimHash byte bands, hyperplane
+sign bands) reduces to the same shape: rows of (bucket key..., member id)
+where same-bucket members are candidate pairs. The quadratic failure mode
+is identical too — one hot bucket with m members emits m² pairs. This
+module is the single implementation of the fix used by all of them:
+
+1. bucket-size accounting (a partial-agg shuffle on the join key, so AQE
+   reuses the exchange);
+2. small buckets (size <= cap): all-pairs self-join — AQE skew-join splits
+   residual hot keys;
+3. big buckets: join-based star to the bucket-min member — O(m) pairs, one
+   hub row per bucket, never a collect_list; connectivity (what downstream
+   connected-components consumes) is preserved because a bucket is a clique
+   candidate and a star spans it.
+
+Members are joined BY ID ONLY — payloads (vectors, fingerprints, band
+arrays) must be re-attached after the pair set is distinct, so the shuffle
+carries ids, not data. The cap is the same "bound the damage" move as the
+reference's stride probing (common/hash_table.rs:425-427) and k-truncated
+unions (common/union.rs:130-135).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def capped_bucket_pairs(
+    keys: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Distinct (id_a, id_b) with id_a < id_b from bucket-membership rows.
+
+    ``keys``: one row per (bucket key..., member id); a member may appear
+    in many buckets (bands). Buckets with more than ``cap`` members emit a
+    star to the bucket minimum instead of all pairs.
+    """
+    sizes = keys.groupBy(*key_cols).agg(F.count("*").alias("__bn"))
+    keyed = keys.join(sizes, key_cols)
+
+    small = keyed.where(F.col("__bn") <= cap).drop("__bn")
+    a, b = small.alias("a"), small.alias("b")
+    same_bucket: Column = reduce(
+        lambda x, y: x & y,
+        [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols],
+    )
+    small_pairs = a.join(
+        b, same_bucket & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+    )
+
+    big = keyed.where(F.col("__bn") > cap)
+    hubs = big.groupBy(*key_cols).agg(F.min(id_col).alias("__hub"))
+    big_pairs = (
+        big.join(hubs, key_cols)
+        .where(F.col(id_col) != F.col("__hub"))
+        .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+
+    return small_pairs.unionByName(big_pairs).distinct()

@@ -60,41 +60,16 @@ def exact_pairs(signatures: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(reps: DataFrame, cfg) -> DataFrame:
-    """Distinct candidate (content_sha_a < content_sha_b) pairs via LSH."""
+    """Distinct candidate (content_sha_a < content_sha_b) pairs via LSH.
+
+    Delegates skew handling to the shared cap+star machinery
+    (operators/buckets.py) — one logical shuffle on the band key.
+    """
+    from .buckets import capped_bucket_pairs
+
     keys = reps.where(F.size("bands") > 0).select(
         "content_sha", F.posexplode("bands").alias("band", "bhash")
     )
-
-    sizes = keys.groupBy("band", "bhash").agg(F.count("*").alias("bucket_n"))
-    keyed = keys.join(sizes, ["band", "bhash"])
-
-    small = keyed.where(F.col("bucket_n") <= cfg.max_bucket_size).drop("bucket_n")
-    a, b = small.alias("a"), small.alias("b")
-    small_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bhash") == F.col("b.bhash"))
-            & (F.col("a.content_sha") < F.col("b.content_sha")),
-        )
-        .select(
-            F.col("a.content_sha").alias("sha_a"),
-            F.col("b.content_sha").alias("sha_b"),
-        )
-    )
-
-    big = keyed.where(F.col("bucket_n") > cfg.max_bucket_size)
-    # join-based star (no collect_list): a 10^8-member bucket must never be
-    # materialized inside one aggregation row — the hub relation is one row
-    # per bucket and the join streams members through
-    hubs = big.groupBy("band", "bhash").agg(F.min("content_sha").alias("hub"))
-    big_pairs = (
-        big.join(hubs, ["band", "bhash"])
-        .where(F.col("content_sha") != F.col("hub"))
-        .select(
-            F.col("hub").alias("sha_a"),
-            F.col("content_sha").alias("sha_b"),
-        )
-    )
-
-    return small_pairs.unionByName(big_pairs).distinct()
+    return capped_bucket_pairs(
+        keys, ["band", "bhash"], "content_sha", cfg.max_bucket_size
+    ).select(F.col("id_a").alias("sha_a"), F.col("id_b").alias("sha_b"))

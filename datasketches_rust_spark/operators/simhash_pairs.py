@@ -46,38 +46,42 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with Hamming(simhash) <= max_hamming.
 
-    Complete for max_hamming <= 7 (8-byte pigeonhole); above that the band
-    join is a high-recall heuristic.
+    Complete for max_hamming <= 7 (8-byte pigeonhole) while every byte
+    bucket stays <= max_bucket; hotter buckets (the degenerate case: many
+    near-identical fingerprints) fall back to a star to the bucket-min
+    member — O(m) pairs, connectivity preserved for downstream clustering.
+    The band join carries ids only; fingerprints are re-attached to the
+    distinct pair set for the bit_count verify.
     """
     cfg = cfg or PipelineConfig()
-    fp = simhash_fingerprints(docs, cfg, id_col, text_col)
+    if max_bucket is None:
+        max_bucket = cfg.max_bucket_size
+    from .buckets import capped_bucket_pairs
+
+    fp = simhash_fingerprints(docs, cfg, id_col, text_col).localCheckpoint(eager=False)
     bands = F.array(
         [
             F.shiftrightunsigned(F.col("simhash64"), 8 * b).bitwiseAND(F.lit(255))
             for b in range(8)
         ]
     )
-    ex = fp.select(
-        F.col(id_col).alias("__id"),
-        F.col("simhash64").alias("__s"),
-        F.posexplode(bands).alias("band", "byte"),
+    keys = fp.select(
+        F.col(id_col).alias("__id"), F.posexplode(bands).alias("band", "byte")
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    pairs = capped_bucket_pairs(keys, ["band", "byte"], "__id", max_bucket)
+    sa = fp.select(F.col(id_col).alias("id_a"), F.col("simhash64").alias("__sa"))
+    sb = fp.select(F.col(id_col).alias("id_b"), F.col("simhash64").alias("__sb"))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.byte") == F.col("b.byte"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
-            F.col("a.__id").alias(f"{id_col}_a"),
-            F.col("b.__id").alias(f"{id_col}_b"),
-            F.bit_count(F.col("a.__s").bitwiseXOR(F.col("b.__s"))).alias("hamming"),
+            F.col("id_a").alias(f"{id_col}_a"),
+            F.col("id_b").alias(f"{id_col}_b"),
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
