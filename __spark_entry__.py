@@ -167,6 +167,28 @@ def _q_tuple_distinct_sum(spark, sf):
     return sk.join(sums, "l_returnflag")
 
 
+def _q_tuple_union_segments(spark, sf):
+    """One MERGEABLE tuple-sketch column per segment, unioned with the
+    AddAssign combine policy (tuple/policy.rs:80-121, tuple/union.rs:68-128):
+    distinct orders + summed quantity from the single merged sketch."""
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_estimate,
+        tuple_sketch_agg,
+        tuple_summary_sum,
+        tuple_union,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    segs = tuple_sketch_agg(li, ["l_linestatus"], "l_orderkey", "l_quantity", k=32768)
+    a = segs.where("l_linestatus = 'O'").select(F.col("sketch").alias("sa"))
+    b = segs.where("l_linestatus = 'F'").select(F.col("sketch").alias("sb"))
+    u = a.crossJoin(b).select(tuple_union(F.col("sa"), F.col("sb"), k=32768).alias("u"))
+    return u.select(
+        F.round(tuple_estimate(F.col("u"))).cast("long").alias("n_distinct_orders"),
+        F.round(tuple_summary_sum(F.col("u")), 2).alias("sum_qty"),
+    )
+
+
 def _q_frequent_events(spark, sf):
     ev = _t(spark, sf, "events")
     total = ev.count()
@@ -326,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_intersect_users": _q_theta_intersect,
         "theta_anotb_users": _q_theta_anotb,
         "tuple_distinct_sum": _q_tuple_distinct_sum,
+        "tuple_union_segments": _q_tuple_union_segments,
         "frequent_events": _q_frequent_events,
         "countmin_event_counts": _q_countmin,
         "tdigest_quantiles": _q_tdigest_quantiles,
@@ -469,6 +492,11 @@ SELECT l_returnflag,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
        sum(l_quantity) AS sum_qty
 FROM lineitem GROUP BY 1
+""",
+        "tuple_union_segments": """
+SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
 """,
         "frequent_events": """
 WITH t AS (SELECT count(*) * 0.15 AS thr FROM events)

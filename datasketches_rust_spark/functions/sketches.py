@@ -67,6 +67,37 @@ def countmin_estimate(
 
 # ----------------------------------------------------------------- bloom
 
+_BLOOM_MIN_BITS, _BLOOM_MAX_BITS = 64, 1 << 40
+_BLOOM_MIN_HASHES, _BLOOM_MAX_HASHES = 1, 1024
+
+
+def bloom_suggest_num_bits(max_items: int, fpp: float) -> int:
+    """Optimal m = ceil(-n ln(fpp) / ln(2)^2) (bloom/builder.rs:187-195)."""
+    import math
+
+    if max_items <= 0:
+        raise ValueError("max_items must be greater than 0")
+    if not 0.0 < fpp <= 1.0:
+        raise ValueError("fpp must be in (0.0, 1.0]")
+    bits = math.ceil(-max_items * math.log(fpp) / (math.log(2) ** 2))
+    return int(min(max(bits, _BLOOM_MIN_BITS), _BLOOM_MAX_BITS))
+
+
+def bloom_suggest_num_hashes(max_items: int, num_bits: int) -> int:
+    """Optimal k = ceil((m/n) ln 2) (bloom/builder.rs:210-220)."""
+    import math
+
+    k = math.ceil(num_bits / max_items * math.log(2))
+    return int(min(max(k, _BLOOM_MIN_HASHES), _BLOOM_MAX_HASHES))
+
+
+def bloom_with_accuracy(max_items: int, fpp: float) -> tuple[int, int]:
+    """(num_bits, num_hashes) for a target capacity and false-positive
+    rate — the ``with_accuracy`` builder (bloom/builder.rs:72-87), so
+    callers stop hand-picking ``1 << 22`` and hoping."""
+    m = bloom_suggest_num_bits(max_items, fpp)
+    return m, bloom_suggest_num_hashes(max_items, m)
+
 
 def _bloom_positions(col: Column, num_bits: int, num_hashes: int) -> Column:
     """Kirsch-Mitzenmacher double-hash positions (bloom/sketch.rs:510-554)."""

@@ -86,6 +86,7 @@ def theta_sketch_agg(
     value_col: str,
     k: int = 4096,
     screen: bool = True,
+    p: float = 1.0,
 ) -> DataFrame:
     """groupBy(group_cols) → theta sketch of distinct value_col per group.
 
@@ -94,12 +95,21 @@ def theta_sketch_agg(
     the shuffle), then a two-level salted aggregation caps per-task state
     at (k+1) hashes per (group, salt) shard — the distributed analog of
     per-shard sketch build then union. Returns group_cols + ``sketch``.
+
+    ``p`` is the reference's up-front sampling probability
+    (theta/sketch.rs builder: initial theta = p * MAX_THETA): hashes >=
+    p*2^63 are rejected at insert time and the sketch's theta never
+    exceeds p*MAX — the estimator divides by theta/2^63 as usual, so
+    estimates stay unbiased under sampling.
     """
+    init_theta = MAX_THETA63 if p >= 1.0 else int(p * MAX_THETA63)
     if screen:
         screened = theta_prescreen(df, group_cols, value_col, k)
     else:
         h = _h63(F.col(value_col))
         screened = df.select(*group_cols, h.alias("__h")).where(h != 0)
+    if p < 1.0:
+        screened = screened.where(F.col("__h") < F.lit(init_theta))
     partial = (
         screened.withColumn("__salt", F.pmod(F.col("__h"), F.lit(_SALT_SHARDS)))
         .groupBy(*group_cols, "__salt")
@@ -114,14 +124,16 @@ def theta_sketch_agg(
     )
     return merged.select(
         *group_cols,
-        _pack_sketch(F.col("__m"), k).alias("sketch"),
+        _pack_sketch(F.col("__m"), k, init_theta).alias("sketch"),
     )
 
 
-def _pack_sketch(m: Column, k: int) -> Column:
+def _pack_sketch(m: Column, k: int, init_theta: int = MAX_THETA63) -> Column:
     """(k+1)-truncated sorted hash array → sketch struct."""
     over = F.size(m) > k
-    theta = F.when(over, F.element_at(m, k + 1)).otherwise(F.lit(MAX_THETA63))
+    theta = F.when(over, F.least(F.element_at(m, k + 1), F.lit(init_theta))).otherwise(
+        F.lit(init_theta)
+    )
     kmv = F.when(over, F.slice(m, 1, k)).otherwise(m)
     return F.struct(
         kmv.alias("kmv"),
@@ -138,25 +150,47 @@ def theta_estimate(sketch: Column) -> Column:
 
 
 def theta_bounds(sketch: Column, num_std_devs: int = 2) -> Column:
-    """(lower, estimate, upper) struct at 1/2/3 sigma.
+    """(lower, estimate, upper) struct — binomial_bounds.rs:288-342 as JVM
+    expressions.
 
-    The reference computes exact binomial confidence bounds
-    (common/binomial_bounds.rs:288-342); for retained >= ~16 those converge
-    to the normal approximation used here:
-    bound = retained / (theta_frac * (1 ± z/sqrt(retained))).
-    Exact-mode sketches (theta == MAX) get lower = estimate = upper, same
-    as the reference's exact-mode shortcut.
+    Piecewise exactly as the reference: exact mode (theta == MAX) collapses
+    the triple; retained == 0 / == 1 use the closed-form log bounds;
+    retained > 120 uses the Gaussian with continuity correction
+    (cont_classic, binomial_bounds.rs:469-485) -/+ 0.5. The only deviation
+    is 2 <= retained <= 120 in estimation mode (unreachable for sketches
+    with k >= 256, whose estimation-mode retained ~= k): there the
+    reference walks the exact binomial tail, which is not a JVM
+    expression — this column uses cont_classic there too, and the exact
+    walk is available driver-side as sigkit.binomial_bounds.lower_bound/
+    upper_bound. Final clamps per the reference: lb = min(est, max(r, raw)),
+    ub = max(est, raw).
     """
+    from ..sigkit.binomial_bounds import _delta_of_num_stdevs
+
     z = F.lit(float(num_std_devs))
+    delta = F.lit(_delta_of_num_stdevs(float(num_std_devs)))
     est = theta_estimate(sketch)
     r = sketch["retained"].cast("double")
-    theta_frac = sketch["theta"].cast("double") / F.lit(float(1 << 63))
+    tf = sketch["theta"].cast("double") / F.lit(float(1 << 63))
     exact = sketch["theta"] == F.lit(MAX_THETA63)
-    rel = z / F.sqrt(F.greatest(r, F.lit(1.0)))
-    lb = F.when(exact, est).otherwise(r / (theta_frac * (F.lit(1.0) + rel)))
-    ub = F.when(exact, est).otherwise(
-        r / (theta_frac * F.greatest(F.lit(1.0) - rel, F.lit(1e-9)))
+
+    b = z * F.sqrt((F.lit(1.0) - tf) / tf)
+    nh_lb = (r - F.lit(0.5)) / tf
+    nh_ub = (r + F.lit(0.5)) / tf
+    cc_lb = nh_lb + F.lit(0.5) * b * b - F.lit(0.5) * b * F.sqrt(b * b + F.lit(4.0) * nh_lb)
+    cc_ub = nh_ub + F.lit(0.5) * b * b + F.lit(0.5) * b * F.sqrt(b * b + F.lit(4.0) * nh_ub)
+
+    raw_lb = (
+        F.when(r == 0, F.lit(0.0))
+        .when(r == 1, F.floor(F.log(F.lit(1.0) - delta) / F.log(F.lit(1.0) - tf)))
+        .otherwise(cc_lb - F.lit(0.5))
     )
+    raw_ub = (
+        F.when(r == 0, F.ceil(F.log(delta) / F.log(F.lit(1.0) - tf)))
+        .otherwise(cc_ub + F.lit(0.5))
+    )
+    lb = F.when(exact, est).otherwise(F.least(est, F.greatest(r, raw_lb)))
+    ub = F.when(exact, est).otherwise(F.greatest(est, raw_ub.cast("double")))
     return F.struct(lb.alias("lower"), est.alias("estimate"), ub.alias("upper"))
 
 

@@ -1,0 +1,164 @@
+"""Tuple sketch: theta-KMV entries carrying an additive summary column.
+
+Re-expresses the reference's TupleSketch with the DefaultUpdatePolicy /
+DefaultUnionPolicy pair (`tuple/policy.rs:60-121`: update is
+``summary += value``, union combine is ``summary += other``) as a pure-JVM
+Spark aggregate. The sketch column is a struct
+
+    (kmv array<long>, summaries array<double>, theta long, retained int)
+
+with ``summaries[i]`` the additive summary of the key hashed to ``kmv[i]``.
+
+Batch-mode equivalence to the reference's streaming update: theta only
+ever decreases, so a key whose hash is below the FINAL theta was below
+theta at every intermediate state — its summary therefore accumulated
+every one of its updates, which is exactly ``groupBy(key).sum(value)``
+followed by trim-to-k (the same argument that makes the KMV trim exact,
+common/hash_table.rs:388-423). Keys trimmed away lose their summaries, as
+in the reference.
+
+Union (`tuple/union.rs:68-128`): min-theta screen on both sides, AddAssign
+summaries of keys present in both, k-truncate. Implemented with
+``map_zip_with`` over (hash -> summary) maps — keys union, values add.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .theta import MAX_THETA63, _h63
+
+_SALT_SHARDS = 64
+
+
+def tuple_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    k: int = 4096,
+    screen: bool = True,
+    rsd: float = 0.02,
+    safety: float = 2.0,
+) -> DataFrame:
+    """groupBy(group_cols) -> tuple sketch of (distinct key, sum(value)).
+
+    Plan: per-(group, key-hash) sum (the AddAssign update policy as a
+    hash agg with map-side combine) -> theta-hat screen (the insert-time
+    screen of hash_table.rs:160-163, bounding downstream state to ~2k
+    entries per group) -> salted collect of (hash, summary) structs ->
+    merge-sort + k-truncate.
+    """
+    h = _h63(F.col(key_col))
+    base = df.select(
+        *group_cols,
+        h.alias("__h"),
+        F.col(value_col).cast("double").alias("__v"),
+    ).where(h != 0)
+    keyed = base.groupBy(*group_cols, "__h").agg(F.sum("__v").alias("__s"))
+
+    if screen:
+        dhat = df.groupBy(*group_cols).agg(
+            F.approx_count_distinct(key_col, rsd).alias("__dhat")
+        )
+        that = (
+            F.when(F.col("__dhat") <= F.lit(int(2 * safety * k)), F.lit(MAX_THETA63))
+            .otherwise(
+                F.least(
+                    F.lit(float(MAX_THETA63)),
+                    F.lit(safety * k * float(1 << 63)) / F.col("__dhat"),
+                ).cast("long")
+            )
+            .alias("__that")
+        )
+        bounds = dhat.select(*group_cols, that)
+        if group_cols:
+            keyed = keyed.join(F.broadcast(bounds), group_cols)
+        else:
+            keyed = keyed.crossJoin(F.broadcast(bounds))
+        keyed = keyed.where(F.col("__h") <= F.col("__that")).drop("__that")
+
+    # each __h lands in exactly one salt shard, so the final merge is a
+    # duplicate-free sorted concat; struct array_sort orders by first field
+    partial = (
+        keyed.withColumn("__salt", F.pmod(F.col("__h"), F.lit(_SALT_SHARDS)))
+        .groupBy(*group_cols, "__salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(F.col("__h"), F.col("__s")))),
+                1,
+                k + 1,
+            ).alias("__part")
+        )
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__part"))), 1, k + 1
+        ).alias("__m")
+    )
+    over = F.size("__m") > k
+    theta = F.when(over, F.element_at("__m", k + 1)["__h"]).otherwise(
+        F.lit(MAX_THETA63)
+    )
+    ent = F.when(over, F.slice("__m", 1, k)).otherwise(F.col("__m"))
+    return merged.select(
+        *group_cols,
+        F.struct(
+            F.transform(ent, lambda e: e["__h"]).alias("kmv"),
+            F.transform(ent, lambda e: e["__s"]).alias("summaries"),
+            theta.cast("long").alias("theta"),
+            F.size(ent).cast("int").alias("retained"),
+        ).alias("sketch"),
+    )
+
+
+def _entries_map(sk: Column, theta: Column) -> Column:
+    """(hash -> summary) map of entries surviving the given theta."""
+    pairs = F.filter(
+        F.zip_with(sk["kmv"], sk["summaries"], lambda h, s: F.struct(h.alias("h"), s.alias("s"))),
+        lambda e: e["h"] < theta,
+    )
+    return F.map_from_entries(pairs)
+
+
+def tuple_union(a: Column, b: Column, k: int = 4096) -> Column:
+    """Union with the AddAssign combine policy (tuple/union.rs:68-128):
+    min-theta screen, summaries of shared keys add, k-truncate."""
+    theta = F.least(a["theta"], b["theta"])
+    merged = F.map_zip_with(
+        _entries_map(a, theta),
+        _entries_map(b, theta),
+        lambda _k, va, vb: F.coalesce(va, F.lit(0.0)) + F.coalesce(vb, F.lit(0.0)),
+    )
+    ent = F.array_sort(
+        F.transform(
+            F.map_entries(merged),
+            lambda e: F.struct(e["key"].alias("h"), e["value"].alias("s")),
+        )
+    )
+    over = F.size(ent) > k
+    new_theta = F.when(over, F.element_at(ent, k + 1)["h"]).otherwise(theta)
+    kept = F.when(over, F.slice(ent, 1, k)).otherwise(ent)
+    return F.struct(
+        F.transform(kept, lambda e: e["h"]).alias("kmv"),
+        F.transform(kept, lambda e: e["s"]).alias("summaries"),
+        new_theta.cast("long").alias("theta"),
+        F.size(kept).cast("int").alias("retained"),
+    )
+
+
+def tuple_estimate(sketch: Column) -> Column:
+    """Distinct-key estimate — same estimator as the theta sketch."""
+    return sketch["retained"].cast("double") / (
+        sketch["theta"].cast("double") / F.lit(float(1 << 63))
+    )
+
+
+def tuple_summary_sum(sketch: Column, scaled: bool = True) -> Column:
+    """Sum of summaries over retained entries; with ``scaled`` the sum is
+    divided by theta fraction — the unbiased total-sum estimator (exact in
+    exact mode, where theta == MAX and the scale is 1)."""
+    s = F.aggregate(sketch["summaries"], F.lit(0.0), lambda acc, x: acc + x)
+    if not scaled:
+        return s
+    return s / (sketch["theta"].cast("double") / F.lit(float(1 << 63)))

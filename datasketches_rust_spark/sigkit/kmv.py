@@ -119,3 +119,39 @@ def jaccard_estimate(
     i = np.intersect1d(a, b, assume_unique=True)
     i = i[i < np.uint64(theta_u)]
     return float(len(i)) / float(len(u))
+
+
+def jaccard_bounds(
+    a: np.ndarray, theta_a: int, b: np.ndarray, theta_b: int, num_std_devs: float = 2.0
+) -> tuple[float, float, float]:
+    """(lower, estimate, upper) for J(A,B) — the reference's
+    JaccardSimilarity struct (jaccard_similarity.rs:46-111, NUM_STD_DEVS=2):
+    proportion bounds on |A∩B| successes in |U| trials with the
+    sampling-probability z adjustment; exact mode collapses the triple."""
+    from .binomial_bounds import (
+        _sampling_adjuster,
+        approximate_lower_bound_on_p,
+        approximate_upper_bound_on_p,
+    )
+
+    if len(a) == 0 and len(b) == 0:
+        return (1.0, 1.0, 1.0)  # identical (empty) sets shortcut
+    k_union = _ceil_pow2(len(a) + len(b))
+    u, theta_u = union_merge(a, theta_a, b, theta_b, k_union)
+    n_u = len(u)
+    if n_u == 0:
+        return (0.0, 0.5, 1.0)
+    i = np.intersect1d(a, b, assume_unique=True)
+    n_i = int(len(i[i < np.uint64(theta_u)]))
+    # sampling probability divides by MAX_THETA (jaccard_similarity.rs:85)
+    # so exact-mode sketches give p == 1.0 exactly and collapse the triple
+    p = theta_u / float(MAX_THETA63)
+    est = n_i / n_u
+    if p >= 1.0:
+        return (est, est, est)
+    z = num_std_devs * _sampling_adjuster(p)
+    return (
+        approximate_lower_bound_on_p(n_u, n_i, z),
+        est,
+        approximate_upper_bound_on_p(n_u, n_i, z),
+    )

@@ -375,3 +375,144 @@ def test_ngram_jaccard_prefix_filter_matches_exhaustive(spark):
                 for r in ngram_jaccard_pairs(df, threshold=thr, prefix_filter=False).collect()}
         assert fast == full, (thr, fast ^ full)
         assert len(fast) > 0
+
+
+def test_tuple_sketch_exact_and_union_mergeability(spark):
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_estimate,
+        tuple_sketch_agg,
+        tuple_summary_sum,
+        tuple_union,
+    )
+
+    # 2000 keys, each with value = key % 7 + 1, split into two segments
+    # that SHARE keys (union must AddAssign the shared summaries)
+    df = spark.range(6000).select(
+        (F.col("id") % 2000).alias("k"),
+        ((F.col("id") % 7) + 1).cast("double").alias("v"),
+        (F.col("id") % 2).alias("seg"),
+    )
+    total = df.agg(F.sum("v")).collect()[0][0]
+    whole = tuple_sketch_agg(df, [], "k", "v", k=4096).collect()[0]["sketch"]
+    segs = tuple_sketch_agg(df, ["seg"], "k", "v", k=4096)
+    a = segs.where("seg = 0").select(F.col("sketch").alias("sa"))
+    b = segs.where("seg = 1").select(F.col("sketch").alias("sb"))
+    u = a.crossJoin(b).select(
+        tuple_union(F.col("sa"), F.col("sb"), k=4096).alias("u")
+    ).collect()[0]["u"]
+    # exact mode: merged sketch == whole-input sketch, entry for entry
+    assert list(u["kmv"]) == list(whole["kmv"])
+    assert u["theta"] == whole["theta"]
+    assert list(u["summaries"]) == pytest.approx(list(whole["summaries"]))
+    est, ssum = (
+        spark.createDataFrame([(u,)], "u struct<kmv:array<bigint>,summaries:array<double>,theta:bigint,retained:int>")
+        .select(tuple_estimate(F.col("u")).alias("e"), tuple_summary_sum(F.col("u")).alias("s"))
+        .collect()[0]
+    )
+    assert est == 2000.0
+    assert ssum == pytest.approx(total)
+
+
+def test_tuple_sketch_estimation_mode(spark):
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_estimate,
+        tuple_sketch_agg,
+        tuple_summary_sum,
+    )
+
+    n = 100_000
+    df = spark.range(n).select(F.col("id").alias("k"), F.lit(2.0).alias("v"))
+    sk = tuple_sketch_agg(df, [], "k", "v", k=1024)
+    row = sk.select(
+        tuple_estimate(F.col("sketch")).alias("e"),
+        tuple_summary_sum(F.col("sketch")).alias("s"),
+        F.col("sketch.retained").alias("r"),
+    ).collect()[0]
+    assert row["r"] == 1024  # state bounded at k
+    assert row["e"] == pytest.approx(n, rel=4 / np.sqrt(1024))
+    assert row["s"] == pytest.approx(2.0 * n, rel=4 / np.sqrt(1024))
+
+
+def test_bloom_with_accuracy_builder():
+    from datasketches_rust_spark.functions.sketches import (
+        bloom_suggest_num_bits,
+        bloom_suggest_num_hashes,
+        bloom_with_accuracy,
+    )
+
+    # bloom/builder.rs doc example: 10_000 items at 1% fpp
+    m, k = bloom_with_accuracy(10_000, 0.01)
+    assert m == 95851  # ceil(-10000 ln(.01) / ln(2)^2)
+    assert k == 7  # ceil(m/n * ln 2)
+    assert bloom_suggest_num_bits(1, 1.0) == 64  # clamped to MIN
+    assert bloom_suggest_num_hashes(10**9, 64) == 1  # clamped to MIN
+    with pytest.raises(ValueError):
+        bloom_with_accuracy(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_with_accuracy(10, 0.0)
+
+
+def test_bloom_accuracy_contract(spark):
+    """Filter built at with_accuracy(n, fpp) observes ~fpp on probes."""
+    from datasketches_rust_spark.functions.sketches import bloom_with_accuracy
+
+    n, fpp = 2000, 0.05
+    m, k = bloom_with_accuracy(n, fpp)
+    members = spark.range(n).select(F.col("id").alias("v"))
+    probe = spark.range(n, n + 4000).select(F.col("id").alias("v"))
+    bits = bloom_build(members, "v", num_bits=m, num_hashes=k)
+    flags = bloom_might_contain(probe, "v", bits, num_bits=m, num_hashes=k)
+    fp_rate = flags.where("might_contain").count() / 4000
+    assert fp_rate <= 2.5 * fpp, fp_rate  # within 2.5x of target
+
+
+def test_winnowing_guarantee(spark):
+    """Docs sharing a span >= window + winnow_window - 1 chars must share
+    a fingerprint; unrelated docs (random text) almost surely share none."""
+    from datasketches_rust_spark.operators.substring import doc_fingerprints
+
+    shared = "the_shared_block_of_code_" * 4  # 100 chars >> 47
+    rows = [
+        (0, "A" * 80 + shared + "B" * 80),
+        (1, "C" * 37 + shared + "D" * 123),
+        (2, "totally unrelated content " + "x" * 120),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = doc_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] & by_doc[1], "shared span must yield a shared fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnow_kernel_matches_naive():
+    from datasketches_rust_spark.operators.substring import winnow_hashes
+
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 1 << 60, size=500).astype(np.uint64)
+    for w in (1, 2, 16, 100, 499, 500, 600):
+        got = winnow_hashes(h, w)
+        naive = np.unique(
+            [h[i : i + w].min() for i in range(max(1, len(h) - w + 1))]
+        )
+        assert np.array_equal(got, naive), w
+
+
+def test_theta_sampling_probability(spark):
+    """Up-front sampling p (theta/sketch.rs builder): theta caps at
+    p*MAX, estimates stay unbiased, retained scales with p."""
+    from datasketches_rust_spark.config import MAX_THETA63
+
+    n = 200_000
+    df = spark.range(n).select(F.col("id").alias("v"))
+    row = (
+        theta_sketch_agg(df, [], "v", k=1 << 20, p=0.01)
+        .select("sketch.*")
+        .collect()[0]
+    )
+    assert row["theta"] <= int(0.01 * MAX_THETA63)
+    assert row["retained"] < 0.02 * n  # ~1% of hashes survive sampling
+    est = row["retained"] / (row["theta"] / float(1 << 63))
+    assert est == pytest.approx(n, rel=0.1)

@@ -135,3 +135,115 @@ def test_tdigest_exact_mode_singletons():
         frac = (target - cum[i]) / (cum[i + 1] - cum[i])
         expect = s[i] + frac * (s[i + 1] - s[i])
         assert d.quantile(q) == pytest.approx(expect, rel=0, abs=1e-9)
+
+
+# ----------------------------------------------------- binomial bounds
+
+def test_binomial_bounds_reference_contract():
+    """Pin the reference's branch behavior (binomial_bounds.rs tests)."""
+    from datasketches_rust_spark.sigkit.binomial_bounds import (
+        lower_bound,
+        upper_bound,
+    )
+
+    # check_compute_approx_bino_lb_ub: theta just below 1-1e-5 with
+    # 2<=n<=120 -> lb = n, ub = n+1
+    theta = (2.0 - 1e-5) / 2.0
+    assert lower_bound(100, theta, 1) == 100.0
+    assert upper_bound(100, theta, 1) == 101.0
+    # exact mode
+    assert lower_bound(50, 1.0, 2) == 50.0
+    assert upper_bound(50, 1.0, 2) == 50.0
+    # no data seen
+    assert upper_bound(0, 0.5, 2, no_data_seen=True) == 0.0
+    # invalid args raise (check_check_args)
+    for bad in (0.0, 1.01, -0.1):
+        with pytest.raises(ValueError):
+            lower_bound(10, bad, 1)
+        with pytest.raises(ValueError):
+            upper_bound(10, bad, 1)
+
+
+def test_binomial_bounds_bracket_and_monotone():
+    """Statistical contract at n in {1, 10, 100, 1000}: the 2-sigma bounds
+    bracket the true count >= 90% of trials, and lb <= est <= ub always."""
+    from datasketches_rust_spark.sigkit.binomial_bounds import (
+        lower_bound,
+        upper_bound,
+    )
+
+    rng = np.random.default_rng(101)
+    for n_samples in (1, 10, 100, 1000):
+        hits = 0
+        trials = 200
+        for _ in range(trials):
+            # choose true N so that E[retained] = n_samples at theta
+            theta = min(1.0, n_samples / 5000)
+            true_n = int(n_samples / theta)
+            k = rng.binomial(true_n, theta)
+            if k == 0:
+                k = 1
+            lb = lower_bound(k, theta, 2)
+            ub = upper_bound(k, theta, 2)
+            est = k / theta
+            assert lb <= est + 1e-9 <= ub + 1e-9
+            if lb <= true_n <= ub:
+                hits += 1
+        assert hits / trials >= 0.90, (n_samples, hits / trials)
+
+
+def test_binomial_bounds_tail_walk_matches_reference_regime():
+    """In the reference's exact regime (2<=n<=120, est<500) our log-space
+    walk must agree with a direct linear-space transcription."""
+    import math
+
+    from datasketches_rust_spark.sigkit.binomial_bounds import (
+        _special_n_prime_f,
+        _special_n_star,
+        _delta_of_num_stdevs,
+    )
+
+    def n_star_linear(k, p, delta):
+        q = 1.0 - p
+        cur = p ** k
+        tot = cur
+        m = k
+        while tot <= delta:
+            cur = cur * q * m / (m + 1 - k)
+            tot += cur
+            m += 1
+        return m - 1
+
+    for k in (2, 5, 17, 60, 120):
+        for est in (150, 300, 480):
+            p = k / est
+            if p >= 1:
+                continue
+            for z in (1, 2, 3):
+                d = _delta_of_num_stdevs(float(z))
+                assert _special_n_star(k, p, d) == n_star_linear(k, p, d), (k, p, z)
+    # extended regime (reference would bail to tables): still returns a
+    # proper bound ordering
+    lo = _special_n_star(10, 10 / 5000, _delta_of_num_stdevs(2.0))
+    hi = _special_n_prime_f(10, 10 / 5000, _delta_of_num_stdevs(2.0))
+    assert lo is not None and hi is not None and lo < 5000 < hi
+
+
+def test_jaccard_bounds_triple():
+    from datasketches_rust_spark.sigkit.kmv import jaccard_bounds, kmv_signatures
+    from datasketches_rust_spark.sigkit.xxhash import xxh64_u64
+
+    ids = np.arange(40_000, dtype=np.uint64)
+    h = xxh64_u64(ids, seed=55) >> np.uint64(1)
+    a_full = np.sort(h[:30_000])
+    b_full = np.sort(h[10_000:40_000])  # true J = 20000/40000 = 0.5
+    # estimation mode: k=2048 signatures
+    va, oa, ta, _ = kmv_signatures(a_full, np.array([0, len(a_full)]), 2048)
+    vb, ob, tb, _ = kmv_signatures(b_full, np.array([0, len(b_full)]), 2048)
+    lb, est, ub = jaccard_bounds(va, int(ta[0]), vb, int(tb[0]))
+    assert lb <= est <= ub
+    assert lb <= 0.5 <= ub  # truth bracketed at 2 sigma (fixed seed)
+    assert est == pytest.approx(0.5, abs=0.05)
+    # exact mode collapses the triple
+    lb2, est2, ub2 = jaccard_bounds(a_full[:100], (1 << 63) - 1, a_full[:100], (1 << 63) - 1)
+    assert lb2 == est2 == ub2 == 1.0
