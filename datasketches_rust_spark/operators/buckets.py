@@ -40,12 +40,26 @@ def capped_bucket_pairs(
     ``keys``: one row per (bucket key..., member id); a member may appear
     in many buckets (bands). Buckets with more than ``cap`` members emit a
     star to the bucket minimum instead of all pairs.
-    """
-    sizes = keys.groupBy(*key_cols).agg(F.count("*").alias("__bn"))
-    keyed = keys.join(sizes, key_cols)
 
-    small = keyed.where(F.col("__bn") <= cap).drop("__bn")
-    a, b = small.alias("a"), small.alias("b")
+    Shuffle shape: ONE map-side-combined aggregation over the keys (sizes
+    + hub mins) whose over-cap slice — tiny by definition of the cap — is
+    BROADCAST back, so hot-bucket classification costs no shuffle or sort
+    of the key rows. The only large exchange left is the small-bucket
+    self-join on the bucket key (AQE skew-join splits residual hot keys).
+    """
+    hot = F.broadcast(
+        keys.groupBy(*key_cols)
+        .agg(F.count("*").alias("__bn"), F.min(id_col).alias("__hub"))
+        .where(F.col("__bn") > cap)
+        .select(*key_cols, "__hub")
+    )
+    keyed = keys.join(hot, key_cols, "left")
+
+    small = keyed.where(F.col("__hub").isNull()).drop("__hub")
+    # SHUFFLE_HASH: bucket partitions are cap-bounded, so the per-partition
+    # hash build always fits — and it skips the two full sorts an SMJ would
+    # spend on the widest shuffle of the stage
+    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
     same_bucket: Column = reduce(
         lambda x, y: x & y,
         [F.col(f"a.{c}") == F.col(f"b.{c}") for c in key_cols],
@@ -57,11 +71,8 @@ def capped_bucket_pairs(
         F.col(f"b.{id_col}").alias("id_b"),
     )
 
-    big = keyed.where(F.col("__bn") > cap)
-    hubs = big.groupBy(*key_cols).agg(F.min(id_col).alias("__hub"))
     big_pairs = (
-        big.join(hubs, key_cols)
-        .where(F.col(id_col) != F.col("__hub"))
+        keyed.where(F.col("__hub").isNotNull() & (F.col(id_col) != F.col("__hub")))
         .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
     )
 

@@ -7,9 +7,10 @@ bounded number of shuffles on node ids, converges in O(log^2 n) rounds
 and never materializes a component in one task — so it survives clusters
 of any size, unlike collect-based CC.
 
-Node ids are content_sha strings: globally unique at any corpus scale
-(no 64-bit-collision risk at 10^12 files) and the component minimum is
-then exactly FIXTURES.md F4's cluster_id = min content_sha.
+Node ids are 32-byte binary content_shas: globally unique at any corpus
+scale (no 64-bit-collision risk at 10^12 files) and the component minimum
+under byte-wise binary ordering equals the minimum of the hex rendering —
+exactly FIXTURES.md F4's cluster_id = min content_sha.
 
 Each iteration ends with a lineage cut (localCheckpoint, or parquet
 round-trip when a checkpoint dir is provided) — iterative plans otherwise
@@ -29,12 +30,13 @@ def _large_star(edges: DataFrame) -> DataFrame:
         F.col("src").alias("u"), F.col("dst").alias("v")
     ).unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", "u").alias("m"))
+    mins = mins.select("u", F.least("mn", "u").alias("m")).hint("shuffle_hash")
+    # no distinct here: duplicate edges don't change small_star's mins and
+    # its own distinct cleans the final set — saves one exchange/iteration
     return (
         nbrs.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 
@@ -43,7 +45,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
     canon = edges.select(
         F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
     ).where(F.col("u") != F.col("v"))
-    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    mins = canon.groupBy("u").agg(F.min("v").alias("m")).hint("shuffle_hash")
     via_nbrs = (
         canon.join(mins, "u")
         .where(F.col("v") != F.col("m"))
@@ -80,18 +82,32 @@ def connected_components(
 
     Deterministic: output depends only on the input edge *set*.
     """
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
-    e = _cut_lineage(e, checkpoint_dir, "init")
-    prev = None
-    for it in range(max_iter):
-        e = _small_star(_large_star(e))
-        e = _cut_lineage(e, checkpoint_dir, f"iter{it % 2}")
-        fp = _fingerprint(e)
-        if fp == prev:
-            break
-        prev = fp
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    # the edge set is tiny relative to the corpus (dedup graphs: a few % of
+    # rows), but each iteration is ~6 shuffle stages — with parallelism-
+    # first AQE coalescing each schedules defaultParallelism tasks of a few
+    # ms, and scheduling dominates. Scope size-first coalescing to the loop
+    # (iterations materialize eagerly inside it), restoring after.
+    spark = edges.sparkSession
+    _PF = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_old = spark.conf.get(_PF, "true")
+    spark.conf.set(_PF, "false")
+    try:
+        e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+        e = _cut_lineage(e, checkpoint_dir, "init")
+        prev = None
+        for it in range(max_iter):
+            e = _small_star(_large_star(e))
+            e = _cut_lineage(e, checkpoint_dir, f"iter{it % 2}")
+            fp = _fingerprint(e)
+            if fp == prev:
+                break
+            prev = fp
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations"
+            )
+    finally:
+        spark.conf.set(_PF, pf_old)
 
     # converged state: every edge points a node at its component root
     assign = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

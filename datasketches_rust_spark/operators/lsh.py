@@ -29,15 +29,40 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def exact_representatives(signatures: DataFrame) -> DataFrame:
-    """One row per distinct content: min file_id is the representative."""
-    return signatures.groupBy("content_sha").agg(
+    """One row per distinct content: min file_id is the representative.
+
+    Deliberately NOT ``agg(first(minhash_kmv), ...)``: ``first()`` over
+    array columns forces a SortAggregate, which sorts the full
+    signature table (kmv arrays and all) twice — measured as the single
+    largest shuffle cost of the pipeline. Instead the rep is chosen with
+    a scalar-only HashAggregate (min file_id + count) and the payload
+    re-attached by an equi-hash-join on (content_sha, file_id): same
+    rows, no sort of the wide table. Identical contents have identical
+    signatures, so which copy donates the payload is immaterial — the
+    min-file_id row is picked for determinism.
+    """
+    keys = signatures.groupBy("content_sha").agg(
         F.min("file_id").alias("rep_file_id"),
-        F.first("n_shingles").alias("n_shingles"),
-        F.first("minhash_kmv").alias("minhash_kmv"),
-        F.first("theta64").alias("theta64"),
-        F.first("simhash64").alias("simhash64"),
-        F.first("bands").alias("bands"),
         F.count("*").alias("n_copies"),
+    )
+    # the SHUFFLE_HASH hint marks the BUILD side — it must be the narrow
+    # keys relation (hash map of (sha, rep_id) rows), never the 2KB-wide
+    # signature rows, whose per-partition build cannot spill and OOMs at
+    # ~1.5M+ files
+    s, k = signatures.alias("s"), keys.alias("k").hint("shuffle_hash")
+    return s.join(
+        k,
+        (F.col("s.content_sha") == F.col("k.content_sha"))
+        & (F.col("s.file_id") == F.col("k.rep_file_id")),
+    ).select(
+        F.col("k.content_sha"),
+        F.col("k.rep_file_id"),
+        F.col("s.n_shingles"),
+        F.col("s.minhash_kmv"),
+        F.col("s.theta64"),
+        F.col("s.simhash64"),
+        F.col("s.bands"),
+        F.col("k.n_copies"),
     )
 
 

@@ -32,9 +32,20 @@ from ..sigkit.oph import band_hashes, oph_minhashes
 from ..sigkit.simhash import simhash64
 from ..sigkit.tokenize import shingle_hashes, shingle_hashes_buf
 
+# content_sha is BINARY(32), not the 64-char hex string: it is the join /
+# shuffle / group key of every downstream stage, and halving the key bytes
+# halves the dominant shuffle payloads; byte-wise binary ordering equals
+# hex-string ordering, so min-representative semantics are unchanged
+# (render with lower(hex(...)) at output boundaries).
+#
+# minhash_kmv is a BINARY blob (k sorted uint64 little-endian hashes), not
+# array<long>: shuffling 256-element arrays pays per-element UnsafeRow
+# ser/deser on every exchange, while a blob is one memcpy — this is the
+# column-form of the reference's CompactThetaSketch byte layout
+# (theta/sketch.rs:321-332). Decode with np.frombuffer(b, '<u8').
 SIGNATURE_SCHEMA = (
-    "file_id string, content_sha string, "
-    "n_shingles long, minhash_kmv array<long>, theta64 long, "
+    "file_id string, content_sha binary, "
+    "n_shingles long, minhash_kmv binary, theta64 long, "
     "simhash64 long, bands array<long>, cfg_hash long"
 )
 
@@ -48,7 +59,7 @@ def signature_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     mh = oph_minhashes(vals, offs, cfg.num_perm, cfg.seed)
     bh = band_hashes(mh, cfg.num_bands, cfg.band_rows, cfg.seed)
 
-    sig_i64 = sig_vals.astype(np.int64)
+    sig_le = sig_vals.astype("<u8")
     nonempty = n_distinct > 0
     return pd.DataFrame(
         {
@@ -56,7 +67,7 @@ def signature_batch(pdf: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
             "content_sha": pdf["content_sha"].to_numpy(),
             "n_shingles": n_distinct,
             "minhash_kmv": [
-                sig_i64[sig_offs[i]: sig_offs[i + 1]] for i in range(len(pdf))
+                sig_le[sig_offs[i]: sig_offs[i + 1]].tobytes() for i in range(len(pdf))
             ],
             "theta64": theta,
             "simhash64": sim,
@@ -91,6 +102,16 @@ def _list_array(values: np.ndarray, offsets: np.ndarray) -> pa.ListArray:
     )
 
 
+def _binary_array(values: np.ndarray, elem_offsets: np.ndarray) -> pa.BinaryArray:
+    """Zero-copy binary column: element i = values[off[i]:off[i+1]] bytes."""
+    byte_offs = (elem_offsets * values.dtype.itemsize).astype(np.int32)
+    return pa.BinaryArray.from_buffers(
+        pa.binary(),
+        len(elem_offsets) - 1,
+        [None, pa.py_buffer(byte_offs), pa.py_buffer(np.ascontiguousarray(values))],
+    )
+
+
 def signature_record_batch(rb: pa.RecordBatch, cfg: PipelineConfig) -> pa.RecordBatch:
     """Arrow-native signature kernel: UTF-8 bytes never become Python strs."""
     n = rb.num_rows
@@ -112,7 +133,7 @@ def signature_record_batch(rb: pa.RecordBatch, cfg: PipelineConfig) -> pa.Record
             rb.column(rb.schema.get_field_index("file_id")),
             rb.column(rb.schema.get_field_index("content_sha")),
             pa.array(n_distinct),
-            _list_array(sig_vals.astype(np.int64), sig_offs),
+            _binary_array(sig_vals.astype("<u8"), sig_offs),
             pa.array(theta),
             pa.array(sim),
             _list_array(band_vals, band_offs),
@@ -141,7 +162,7 @@ def compute_signatures(corpus: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """
     with_ids = corpus.select(
         F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
-        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.unhex(F.sha2(F.col("content"), 256)).alias("content_sha"),
         "content",
     )
 

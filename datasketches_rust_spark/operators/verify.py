@@ -29,24 +29,28 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..config import PipelineConfig
 
-VERIFIED_SCHEMA = "sha_a string, sha_b string, jaccard_est double, accepted boolean"
+VERIFIED_SCHEMA = "sha_a binary, sha_b binary, jaccard_est double, accepted boolean"
 
 
 def jaccard_batch(
     kmv_a: list, theta_a: np.ndarray, kmv_b: list, theta_b: np.ndarray
 ) -> np.ndarray:
-    """Vectorized pairwise theta-Jaccard for a batch of pairs."""
+    """Vectorized pairwise theta-Jaccard for a batch of pairs.
+
+    ``kmv_a``/``kmv_b`` are binary blobs of little-endian uint64 sorted
+    hashes (the signature column's packed form): one bytes-join +
+    frombuffer decodes the whole batch.
+    """
     n = len(theta_a)
-    la = np.fromiter((len(x) for x in kmv_a), dtype=np.int64, count=n)
-    lb = np.fromiter((len(x) for x in kmv_b), dtype=np.int64, count=n)
+    la = np.fromiter((len(x) // 8 for x in kmv_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) // 8 for x in kmv_b), dtype=np.int64, count=n)
     theta = np.minimum(theta_a, theta_b).astype(np.int64)
 
     if n == 0:
         return np.empty(0, dtype=np.float64)
 
-    vals = np.concatenate(
-        [np.concatenate(kmv_a) if la.sum() else np.empty(0, np.int64)]
-        + [np.concatenate(kmv_b) if lb.sum() else np.empty(0, np.int64)]
+    vals = np.frombuffer(
+        b"".join(kmv_a) + b"".join(kmv_b), dtype="<u8"
     ).astype(np.int64)
     pid = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
 
@@ -73,8 +77,14 @@ def verify_pairs(
 ) -> DataFrame:
     """candidates(sha_a, sha_b) → (sha_a, sha_b, jaccard_est, accepted)."""
     sigs = reps.select("content_sha", "minhash_kmv", "theta64", "n_shingles")
+    # Join 1: SHUFFLE_HASH with the BUILD side on the narrow pair relation
+    # — the 2KB-wide signature rows stream through unsorted and are never
+    # held in a hash map (a wide build side cannot spill and OOMs).
+    # Join 2's left side is already wide (it carries kmv_a), so no hint:
+    # AQE picks by runtime stats there.
     joined = (
-        candidates.join(
+        candidates.hint("shuffle_hash")
+        .join(
             sigs.select(
                 F.col("content_sha").alias("sha_a"),
                 F.col("minhash_kmv").alias("kmv_a"),

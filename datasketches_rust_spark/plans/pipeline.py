@@ -51,14 +51,17 @@ class DedupPipeline:
         """Run or resume one stage; returns (df, fingerprint)."""
         fp = f"{self.cfg.cfg_hash()}|{upstream_fp}|{name}"
         if self.dir is None:
-            # no durable checkpoint: still cut lineage lazily so downstream
-            # stages reuse this stage's result instead of recomputing the
-            # whole upstream chain per consumer. Single-consumer stages can
-            # opt out (materialize=False) and flow straight into their
-            # consumer's aggregation — saves a full write+read of the data.
+            # no durable checkpoint: cut lineage EAGERLY so every downstream
+            # consumer — including broadcast-subquery jobs, which Spark runs
+            # before the main job and which would otherwise recompute the
+            # whole upstream chain — reads this stage's materialized blocks
+            # (measured: eager per-stage checkpoints beat the lazy variant
+            # by ~35s on the 600k-file bench at 16 cores). Single-consumer
+            # stages can opt out (materialize=False) and flow straight into
+            # their consumer's aggregation.
             df = compute()
             if materialize:
-                df = df.localCheckpoint(eager=False)
+                df = df.localCheckpoint(eager=True)
             return df, fp
         path = f"{self.dir}/{name}"
         if os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -91,23 +94,24 @@ class DedupPipeline:
 
     @staticmethod
     def file_ids(corpus: DataFrame) -> DataFrame:
-        """(file_id, content_sha) — JVM-only (sha2), cheap to recompute."""
+        """(file_id, content_sha BINARY) — JVM-only (sha2), cheap to
+        recompute; content_sha matches the signature table's binary key."""
         return corpus.select(
             F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
-            F.sha2(F.col("content"), 256).alias("content_sha"),
+            F.unhex(F.sha2(F.col("content"), 256)).alias("content_sha"),
         )
 
     def run(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
         """corpus(repo,path,commit,lang,content) → clusters(file_id,
         content_sha, cluster_id). cluster_id = min content_sha in component;
         non-duplicated files map to their own content_sha."""
-        # signatures feed exactly one consumer (the per-content dedup agg):
-        # stream them straight into it instead of materializing ~2KB/row
+        # signatures feed several consumers (rep keys, payload join, the
+        # final file_id→cluster map) — materialize once so the kernel runs
+        # once and the cluster stage never re-scans the raw corpus
         sigs, fp1 = self._stage(
             "signatures",
             input_fp,
             lambda: compute_signatures(corpus, self.cfg),
-            materialize=False,
         )
         reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
         cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
@@ -122,7 +126,7 @@ class DedupPipeline:
         def compute_clusters():
             assign = connected_components(edges, checkpoint_dir=self.dir)
             return (
-                self.file_ids(corpus)
+                sigs.select("file_id", "content_sha")
                 .join(
                     assign.withColumnRenamed("node", "content_sha"),
                     "content_sha",
@@ -130,8 +134,12 @@ class DedupPipeline:
                 )
                 .select(
                     "file_id",
-                    "content_sha",
-                    F.coalesce("component", "content_sha").alias("cluster_id"),
+                    # render the binary keys as the usual lowercase hex at
+                    # the output boundary (identical to sha2's text form)
+                    F.lower(F.hex("content_sha")).alias("content_sha"),
+                    F.lower(
+                        F.hex(F.coalesce("component", "content_sha"))
+                    ).alias("cluster_id"),
                 )
             )
 
@@ -145,7 +153,6 @@ class DedupPipeline:
             "signatures",
             input_fp,
             lambda: compute_signatures(corpus, self.cfg),
-            materialize=False,
         )
         reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
         cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
@@ -166,6 +173,6 @@ class DedupPipeline:
                 F.lit("near").alias("kind"),
             )
         )
-        ex = exact_pairs(self.file_ids(corpus))
+        ex = exact_pairs(sigs.select("file_id", "content_sha"))
         self.flush_metrics()
         return ex.unionByName(near)

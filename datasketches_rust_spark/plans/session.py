@@ -35,9 +35,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # coalesce small shuffles to few tasks instead of padding to
-        # parallelism — tiny post-LSH stages otherwise drown in task overhead
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # respect cluster parallelism when coalescing: with size-first
+        # coalescing (parallelismFirst=false) the small post-LSH stages
+        # (verify, CC iterations) collapse to ~64MB partitions = fewer
+        # tasks than cores, flatlining their scaling from N to 4N
+        # executors; per-task overhead is milliseconds, idle cores are not
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # signature kernels work on whole-file strings; keep Arrow batches
         # bounded so a batch of 200KB files stays well under executor memory

@@ -108,9 +108,10 @@ def token_hash_stream_buf(
     n_docs = len(doc_offsets) - 1
     starts, lengths = token_spans(buf, doc_offsets)
     hashes = xxh64_slices(buf, starts, lengths, seed)
-    tok_doc = np.searchsorted(doc_offsets, starts, side="right") - 1
-    tok_off = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(np.bincount(tok_doc, minlength=n_docs), out=tok_off[1:])
+    # spans never straddle a doc boundary, so doc i's first token is the
+    # first start >= doc_offsets[i] — O(n_docs log n_tokens), not a
+    # per-token searchsorted
+    tok_off = np.searchsorted(starts, doc_offsets).astype(np.int64)
     return hashes, tok_off
 
 
@@ -152,9 +153,13 @@ def shingle_hashes_buf(
     if len(tok_hashes) >= width:
         n_win = len(tok_hashes) - width + 1
         vals_full = _poly_fold(tok_hashes, width, n_win)
-        # window starting at global token i stays in-doc iff i+width <= doc_end
-        starts_doc = np.searchsorted(tok_off, np.arange(n_win), side="right") - 1
-        in_doc = np.arange(n_win) + width <= tok_off[starts_doc + 1]
+        # token i belongs to doc repeat(arange, n_tok)[i]; the window at i
+        # stays in-doc iff i+width <= that doc's token end — both built
+        # with np.repeat over doc counts, no per-window searchsorted
+        tok_doc = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok_per_doc)
+        doc_end = np.repeat(tok_off[1:], n_tok_per_doc)
+        starts_doc = tok_doc[:n_win]
+        in_doc = np.arange(n_win) + width <= doc_end[:n_win]
         if in_doc.any():
             rows = np.nonzero(in_doc)[0]
             shingle_vals.append(vals_full[rows])
@@ -181,18 +186,33 @@ def shingle_hashes_buf(
         vals = np.empty(0, dtype=np.uint64)
         docs = np.empty(0, dtype=np.int64)
 
-    # distinct + sort per doc: lexsort by (doc, value), drop repeats
-    order = np.lexsort((vals, docs))
-    vals, docs = vals[order], docs[order]
-    if len(vals):
-        first = np.empty(len(vals), dtype=bool)
-        first[0] = True
-        first[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
-        vals, docs = vals[first], docs[first]
-
+    # distinct + sort per doc. ``docs`` is non-decreasing except for the
+    # appended short-doc shingles, so a counting pass groups rows per doc
+    # and each doc's values are sorted IN PLACE — per-doc slices are
+    # L1-resident, unlike a global lexsort whose gathers are DRAM-bound
+    # and stop scaling across 16 workers (BASELINE.md calibration).
+    counts = np.bincount(docs, minlength=n_docs)
+    raw_off = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=raw_off[1:])
+    if len(shingle_docs) > 1 or (len(docs) and not _is_nondecreasing(docs)):
+        order = np.argsort(docs, kind="stable")
+        vals = vals[order]
+    keep_parts = []
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(np.bincount(docs, minlength=n_docs), out=offsets[1:])
+    kept = 0
+    for d in range(n_docs):
+        lo, hi = raw_off[d], raw_off[d + 1]
+        if hi > lo:
+            seg = np.unique(vals[lo:hi])  # sorts + dedups the slice
+            keep_parts.append(seg)
+            kept += len(seg)
+        offsets[d + 1] = kept
+    vals = np.concatenate(keep_parts) if keep_parts else np.empty(0, np.uint64)
     return vals, offsets
+
+
+def _is_nondecreasing(a: np.ndarray) -> bool:
+    return bool(np.all(a[1:] >= a[:-1])) if len(a) > 1 else True
 
 
 def shingle_hashes(texts, width: int, seed: int) -> tuple[np.ndarray, np.ndarray]:

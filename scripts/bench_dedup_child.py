@@ -9,6 +9,7 @@ scales with executors on a real cluster).
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -25,9 +26,17 @@ from datasketches_rust_spark.plans.session import get_spark
 def main(corpus_path: str, cpus: int) -> None:
     spark = get_spark(
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus * 2, 8),
+        # enough initial shuffle partitions that a per-partition hash-join
+        # build stays small at multi-million-file corpora; AQE coalesces
+        # the small stages back down to ~parallelism
+        shuffle_partitions=max(cpus * 8, 64),
         app_name=f"bench-dedup-{cpus}",
         extra_conf={
+            # shuffle/spill dirs on tmpfs: the sandbox's single shared disk
+            # under-provisions the 4N level (a real 4N-executor cluster has
+            # 4x the local SSDs), so disk-bound shuffles would flatline at
+            # the disk's bandwidth regardless of cores
+            "spark.local.dir": f"/dev/shm/spark-bench-{cpus}",
             # size input splits so the scan parallelizes across all cores
             # even for a bench-sized corpus (on a 100TB table the defaults
             # already yield thousands of splits)
@@ -45,19 +54,65 @@ def main(corpus_path: str, cpus: int) -> None:
     # interpreter startup to nothing; at bench scale it would skew the ratio
     corpus.select("repo").mapInPandas(lambda it: it, "repo string").count()
 
+    stage_walls = {}
     t0 = time.monotonic()
-    pipe = DedupPipeline(spark, PipelineConfig())
-    clusters = pipe.run(corpus)
-    n_rows = clusters.count()
+    if os.environ.get("SPARK_GRAFT_STAGE_WALLS") == "1":
+        # diagnostic mode: eager-checkpoint each stage and time it — finds
+        # which stage stops scaling; not the official measurement (eager
+        # materialization breaks cross-stage pipelining)
+        from pyspark.sql import functions as F
+
+        from datasketches_rust_spark.operators.connected_components import (
+            connected_components,
+        )
+        from datasketches_rust_spark.operators.lsh import (
+            candidate_pairs,
+            exact_representatives,
+        )
+        from datasketches_rust_spark.operators.signatures import compute_signatures
+        from datasketches_rust_spark.operators.verify import verify_pairs
+
+        cfg = PipelineConfig()
+
+        def timed(name, df):
+            t = time.monotonic()
+            out = df.localCheckpoint(eager=True)
+            stage_walls[name] = round(time.monotonic() - t, 2)
+            return out
+
+        sigs = timed("signatures", compute_signatures(corpus, cfg))
+        reps = timed("reps", exact_representatives(sigs))
+        cands = timed("candidates", candidate_pairs(reps, cfg))
+        verified = timed("verify", verify_pairs(cands, reps, cfg))
+        edges = verified.where("accepted").select(
+            F.col("sha_a").alias("src"), F.col("sha_b").alias("dst")
+        )
+        t = time.monotonic()
+        assign = connected_components(edges)
+        clusters = (
+            DedupPipeline.file_ids(corpus)
+            .join(assign.withColumnRenamed("node", "content_sha"), "content_sha", "left")
+            .select(
+                "file_id",
+                "content_sha",
+                F.coalesce("component", "content_sha").alias("cluster_id"),
+            )
+        )
+        n_rows = clusters.count()
+        stage_walls["cc+assign"] = round(time.monotonic() - t, 2)
+    else:
+        pipe = DedupPipeline(spark, PipelineConfig())
+        clusters = pipe.run(corpus)
+        n_rows = clusters.count()
     wall = time.monotonic() - t0
     n_clusters = clusters.select("cluster_id").distinct().count()
 
-    print(
-        json.dumps(
-            {"wall": wall, "files": n_files, "rows": n_rows, "clusters": n_clusters}
-        )
-    )
+    out = {"wall": wall, "files": n_files, "rows": n_rows, "clusters": n_clusters}
+    if stage_walls:
+        out["stage_walls"] = stage_walls
+    print(json.dumps(out))
     spark.stop()
+    shutil.rmtree(f"/dev/shm/spark-bench-{cpus}", ignore_errors=True)
 
 
 if __name__ == "__main__":
