@@ -189,6 +189,45 @@ def _q_tuple_union_segments(spark, sf):
     )
 
 
+def _q_tuple_anotb_qty(spark, sf):
+    """Distinct orders + summed quantity present in segment O but NOT F —
+    TupleANotB (tuple/a_not_b.rs:76-105): A's summaries kept, B acts as a
+    key-only view. Exact mode (k >= distinct orders per segment at driver
+    sf), so estimate == exact count and the summary sum is exact."""
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_a_not_b,
+        tuple_estimate,
+        tuple_sketch_agg,
+        tuple_summary_sum,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    segs = tuple_sketch_agg(li, ["l_linestatus"], "l_orderkey", "l_quantity", k=32768)
+    a = segs.where("l_linestatus = 'O'").select(F.col("sketch").alias("sa"))
+    b = segs.where("l_linestatus = 'F'").select(F.col("sketch").alias("sb"))
+    d = a.crossJoin(b).select(tuple_a_not_b(F.col("sa"), F.col("sb")).alias("d"))
+    return d.select(
+        F.round(tuple_estimate(F.col("d"))).cast("long").alias("n_distinct_orders"),
+        F.round(tuple_summary_sum(F.col("d")), 2).alias("sum_qty"),
+    )
+
+
+def _q_theta_jaccard_users(spark, sf):
+    """Jaccard triple of click-vs-view user sets (jaccard_similarity.rs:
+    46-111). Exact mode (k=1024 >= distinct users per type at driver sf):
+    p == 1 collapses the triple to the exact |A∩B|/|A∪B|."""
+    from datasketches_rust_spark.functions.theta import theta_jaccard
+
+    a = _events_sketch(spark, sf, "click")
+    b = _events_sketch(spark, sf, "view")
+    jt = theta_jaccard(F.col("click"), F.col("view"))
+    return a.crossJoin(b).select(
+        F.round(jt["lower"], 6).alias("j_lower"),
+        F.round(jt["estimate"], 6).alias("j_est"),
+        F.round(jt["upper"], 6).alias("j_upper"),
+    )
+
+
 def _q_frequent_events(spark, sf):
     ev = _t(spark, sf, "events")
     total = ev.count()
@@ -328,9 +367,18 @@ def _q_embedding_dup_pairs_lsh(spark, sf):
 
     # 24 bands x 4 bits: candidate recall 1.0 at cosine >= 0.45 on this
     # corpus (verified vs embedding_cosine_pairs at sf0.01), so the
-    # exact-verify output equals the exhaustive pairs and shares its oracle
+    # exact-verify output equals the exhaustive pairs and shares its oracle.
+    # max_bucket must exceed any possible bucket size for the oracle share
+    # to hold (an over-cap bucket degrades to hub-star pairs — see the
+    # operator docstring); the embeddings table is <= 10^6 rows at every
+    # driver sf, so 10^9 is provably uncapped here while the operator's
+    # default cap stays the 100 TB scale path.
     return embedding_dup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.45, n_planes=96, band_bits=4
+        _t(spark, sf, "embeddings"),
+        threshold=0.45,
+        n_planes=96,
+        band_bits=4,
+        max_bucket=1_000_000_000,
     )
 
 
@@ -349,6 +397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_anotb_users": _q_theta_anotb,
         "tuple_distinct_sum": _q_tuple_distinct_sum,
         "tuple_union_segments": _q_tuple_union_segments,
+        "tuple_anotb_qty": _q_tuple_anotb_qty,
+        "theta_jaccard_users": _q_theta_jaccard_users,
         "frequent_events": _q_frequent_events,
         "countmin_event_counts": _q_countmin,
         "tdigest_quantiles": _q_tdigest_quantiles,
@@ -497,6 +547,26 @@ FROM lineitem GROUP BY 1
 SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
+""",
+        "tuple_anotb_qty": """
+WITH a AS (SELECT l_orderkey, sum(l_quantity) AS qty
+           FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_distinct_orders,
+       round(coalesce(sum(qty), 0), 2) AS sum_qty
+FROM a WHERE l_orderkey NOT IN
+  (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+""",
+        "theta_jaccard_users": """
+WITH i AS (SELECT count(*) AS c FROM (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view')),
+u AS (SELECT count(DISTINCT user_id) AS c
+      FROM events WHERE event_type IN ('click', 'view'))
+SELECT round(i.c * 1.0 / u.c, 6) AS j_lower,
+       round(i.c * 1.0 / u.c, 6) AS j_est,
+       round(i.c * 1.0 / u.c, 6) AS j_upper
+FROM i, u
 """,
         "frequent_events": """
 WITH t AS (SELECT count(*) * 0.15 AS thr FROM events)

@@ -27,6 +27,17 @@ from ..sigkit.tdigest import TDigest
 _GRP = "__grp"
 
 
+def _quantile_col_name(q: float) -> str:
+    """Injective default name: p50, p90, p99, p99_9, p12_5, ...
+
+    ``round(q*100)`` collides (0.999 and 1.0 both → p100; banker's rounding
+    maps 0.125 and 0.135 both → p12), so keep every significant decimal and
+    replace the point with an underscore.
+    """
+    s = format(q * 100, ".10f").rstrip("0").rstrip(".")
+    return "p" + s.replace(".", "_").replace("-", "m")
+
+
 def _with_group(df: DataFrame, group_cols: list[str]) -> tuple[DataFrame, list[str]]:
     if group_cols:
         return df, group_cols
@@ -51,7 +62,9 @@ def tdigest_agg(
     (Python round() is banker's; SQL round is half-away-from-zero).
     """
     if col_names is None:
-        col_names = [f"p{round(q * 100)}" for q in quantiles]
+        col_names = [_quantile_col_name(q) for q in quantiles]
+    if len(set(col_names)) != len(col_names):
+        raise ValueError(f"duplicate quantile column names: {col_names}")
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
     gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)

@@ -40,14 +40,21 @@ def shingles(tok: Column, width: int = 5) -> Column:
     )
 
 
-def _exploded_shingles(docs: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
-    """(id, shingle-hash) rows, distinct per doc; hash shrinks the shuffle."""
-    return (
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.explode(F.array_distinct(shingles(tokens(F.col(text_col)), width))).alias("__sh"),
-        )
-        .select("__id", F.xxhash64("__sh").alias("__shh"))
+def _shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str, width: int) -> DataFrame:
+    """(id, sorted array of distinct-shingle hashes) — one row per doc.
+
+    Keeping the shingles in array form (instead of exploding immediately)
+    lets prefix extraction run as a per-row ``slice`` inside the scan stage;
+    hashing shrinks every downstream shuffle to (id, int64) rows.
+    """
+    return docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(
+            F.transform(
+                F.array_distinct(shingles(tokens(F.col(text_col)), width)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__hs"),
     )
 
 
@@ -72,22 +79,29 @@ def ngram_jaccard_pairs(
     intersection is counted only for surviving candidate pairs.
     ``prefix_filter=False`` keeps the exhaustive self-join (the small-scale
     cross-check path).
+
+    The prefix length is computed integer-exactly as ``n - ceil(t*n) + 1``
+    (== floor((1-t)n) + 1) with a 1e-9 guard inside the ceil so float error
+    can only ENLARGE the prefix: the naive ``floor((1-t)*n)`` form loses one
+    element whenever (1-t)*n is an exact integer (1-0.8 = 0.19999... in
+    binary), silently dropping pairs at J == threshold. Prefix extraction is
+    a per-row JVM ``slice`` over the doc's sorted hash array — map-side, in
+    the same stage as the scan; no window, no extra exchange.
     """
-    # the exploded frame feeds several consumers: cut lineage so
+    # the per-doc hash arrays feed several consumers: cut lineage so
     # tokenization+shingling runs once
-    ex = _exploded_shingles(docs, id_col, text_col, width).localCheckpoint(eager=False)
-    sizes = ex.groupBy("__id").agg(F.count("*").alias("n"))
+    arr = _shingle_hash_arrays(docs, id_col, text_col, width).localCheckpoint(eager=False)
+    sizes = arr.select("__id", F.size("__hs").alias("n"))
 
     if prefix_filter:
-        w = Window.partitionBy("__id").orderBy("__shh")
+        plen = (
+            F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + F.lit(1)
+        ).cast("int")
         pref = (
-            ex.withColumn("__r", F.row_number().over(w))
-            .join(sizes, "__id")
-            .where(
-                F.col("__r")
-                <= F.floor(F.lit(1.0 - threshold) * F.col("n")) + F.lit(1)
-            )
-            .select("__id", "__shh", "n")
+            arr.withColumn("n", F.size("__hs"))
+            .select("__id", "n", F.explode(F.slice("__hs", F.lit(1), plen)).alias("__shh"))
         )
         a, b = pref.alias("a"), pref.alias("b")
         cand = (
@@ -101,6 +115,7 @@ def ngram_jaccard_pairs(
             .select(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
             .distinct()
         )
+        ex = arr.select("__id", F.explode("__hs").alias("__shh"))
         ea, eb = ex.alias("ea"), ex.alias("eb")
         inter = (
             cand.join(ea, F.col("ia") == F.col("ea.__id"))
@@ -113,6 +128,7 @@ def ngram_jaccard_pairs(
             .agg(F.count("*").alias("inter"))
         )
     else:
+        ex = arr.select("__id", F.explode("__hs").alias("__shh"))
         a, b = ex.alias("a"), ex.alias("b")
         inter = (
             a.join(

@@ -242,3 +242,105 @@ def theta_a_not_b(a: Column, b: Column) -> Column:
         theta.cast("long").alias("theta"),
         F.size(kmv).cast("int").alias("retained"),
     )
+
+
+# ------------------------------------------------------------ jaccard triple
+
+
+def _phi_neg(z: Column) -> Column:
+    """Standard-normal tail Φ(-z) via the A&S 7.1.26 erfc polynomial
+    (|error| < 1.5e-7) — Spark has no erf builtin, and this only feeds the
+    k ∈ {0, 1, n-1, n} edge branches of the proportion bounds."""
+    import math
+
+    x = F.abs(z) / F.lit(math.sqrt(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = t * (
+        F.lit(0.254829592)
+        + t
+        * (
+            F.lit(-0.284496736)
+            + t * (F.lit(1.421413741) + t * (F.lit(-1.453152027) + t * F.lit(1.061405429)))
+        )
+    )
+    tail = F.lit(0.5) * poly * F.exp(-x * x)  # Φ(-|z|)
+    return F.when(z >= 0, tail).otherwise(F.lit(1.0) - tail)
+
+
+def _as26522(a: Column, b: Column, yp: Column) -> Column:
+    """A&S 26.5.22 normal approximation to the inverse incomplete beta
+    (binomial_bounds.rs:439-450) as a JVM expression."""
+    b2m1 = F.lit(2.0) * b - F.lit(1.0)
+    a2m1 = F.lit(2.0) * a - F.lit(1.0)
+    lam = (yp * yp - F.lit(3.0)) / F.lit(6.0)
+    h = F.lit(2.0) / (F.lit(1.0) / a2m1 + F.lit(1.0) / b2m1)
+    term1 = yp * F.sqrt(h + lam) / h
+    term2 = F.lit(1.0) / b2m1 - F.lit(1.0) / a2m1
+    term3 = lam + F.lit(5.0 / 6.0) - F.lit(2.0) / (F.lit(3.0) * h)
+    w = term1 - term2 * term3
+    return a / (a + b * F.exp(F.lit(2.0) * w))
+
+
+def _lower_bound_on_p(n: Column, k: Column, z: Column) -> Column:
+    """binomial_bounds.rs:345-367 (CaseWhen short-circuits, so the edge
+    branches guard the divisions in the general branch)."""
+    delta = _phi_neg(z)
+    return (
+        F.when((n == 0) | (k == 0), F.lit(0.0))
+        .when(k == 1, F.lit(1.0) - F.pow(F.lit(1.0) - delta, F.lit(1.0) / n))
+        .when(k == n, F.pow(delta, F.lit(1.0) / n))
+        .otherwise(F.lit(1.0) - _as26522(n - k + F.lit(1.0), k, -z))
+    )
+
+
+def _upper_bound_on_p(n: Column, k: Column, z: Column) -> Column:
+    """binomial_bounds.rs:370-392."""
+    delta = _phi_neg(z)
+    return (
+        F.when((n == 0) | (k == n), F.lit(1.0))
+        .when(k == n - 1, F.pow(F.lit(1.0) - delta, F.lit(1.0) / n))
+        .when(k == 0, F.lit(1.0) - F.pow(delta, F.lit(1.0) / n))
+        .otherwise(F.lit(1.0) - _as26522(n - k, k + F.lit(1.0), z))
+    )
+
+
+def _sampling_adjuster(p: Column) -> Column:
+    """jaccard_similarity.rs:334-341."""
+    adj = F.sqrt(F.lit(1.0) - p)
+    return F.when(p <= 0.5, adj).otherwise(adj + F.lit(0.01) * (p - F.lit(0.5)))
+
+
+def theta_jaccard(a: Column, b: Column, num_std_devs: float = 2.0) -> Column:
+    """(lower, estimate, upper) Jaccard triple of two sketch structs —
+    JaccardSimilarity (jaccard_similarity.rs:46-111, union sizing at
+    common/jaccard_similarity.rs:227-332) as one JVM expression.
+
+    The reference sizes the union to ceil_pow2(|a|+|b|), which always
+    exceeds the merged entry count, so the union NEVER truncates and
+    theta_union == min(theta_a, theta_b) — the identity these expressions
+    rely on. Exact mode (p >= 1) collapses the triple; two empty sketches
+    are "identical" → (1,1,1); an empty screened union → (0, 0.5, 1).
+    Summaries never participate (tuple/jaccard_similarity.rs:75-101
+    delegates to the same key-only operator), so this accepts theta AND
+    tuple sketch structs alike.
+    """
+    theta = _min_theta(a, b)
+    ua, ub = _screen(a["kmv"], theta), _screen(b["kmv"], theta)
+    n_u = F.size(F.array_union(ua, ub)).cast("double")
+    n_i = F.size(F.array_intersect(ua, ub)).cast("double")
+    est = n_i / n_u
+    p = theta.cast("double") / F.lit(float(MAX_THETA63))
+    z = F.lit(float(num_std_devs)) * _sampling_adjuster(p)
+
+    def _t(lo, mid, hi) -> Column:
+        return F.struct(lo.alias("lower"), mid.alias("estimate"), hi.alias("upper"))
+
+    both_empty = (F.size(a["kmv"]) == 0) & (F.size(b["kmv"]) == 0)
+    return (
+        F.when(both_empty, _t(F.lit(1.0), F.lit(1.0), F.lit(1.0)))
+        .when(n_u == 0, _t(F.lit(0.0), F.lit(0.5), F.lit(1.0)))
+        .when(p >= 1.0, _t(est, est, est))
+        .otherwise(
+            _t(_lower_bound_on_p(n_u, n_i, z), est, _upper_bound_on_p(n_u, n_i, z))
+        )
+    )

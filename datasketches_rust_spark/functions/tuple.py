@@ -147,6 +147,67 @@ def tuple_union(a: Column, b: Column, k: int = 4096) -> Column:
     )
 
 
+def _pack_entries(m: Column, theta: Column) -> Column:
+    """(hash -> summary) map + theta → sorted tuple-sketch struct."""
+    ent = F.array_sort(
+        F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(e["key"].alias("h"), e["value"].alias("s")),
+        )
+    )
+    return F.struct(
+        F.transform(ent, lambda e: e["h"]).alias("kmv"),
+        F.transform(ent, lambda e: e["s"]).alias("summaries"),
+        theta.cast("long").alias("theta"),
+        F.size(ent).cast("int").alias("retained"),
+    )
+
+
+def tuple_intersection(a: Column, b: Column) -> Column:
+    """Intersection under min-theta: shared keys only, summaries combined
+    with the AddAssign policy (tuple/intersection.rs:94-160 with the
+    SumPolicy combine of its doctest). Retained <= min(|a|, |b|), so no
+    k-truncation is ever needed — exactly the reference operator."""
+    theta = F.least(a["theta"], b["theta"])
+    merged = F.map_filter(
+        F.map_zip_with(
+            _entries_map(a, theta),
+            _entries_map(b, theta),
+            lambda _k, va, vb: F.when(va.isNotNull() & vb.isNotNull(), va + vb),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    return _pack_entries(merged, theta)
+
+
+def tuple_a_not_b(a: Column, b: Column) -> Column:
+    """A \\ B below combined theta, keeping A's summaries; B's summaries
+    are ignored — B acts as a key-only view (tuple/a_not_b.rs:76-105)."""
+    theta = F.least(a["theta"], b["theta"])
+    merged = F.map_filter(
+        F.map_zip_with(
+            _entries_map(a, theta),
+            _entries_map(b, theta),
+            lambda _k, va, vb: F.when(vb.isNull(), va),
+        ),
+        lambda _k, v: v.isNotNull(),
+    )
+    return _pack_entries(merged, theta)
+
+
+def tuple_jaccard(a: Column, b: Column, num_std_devs: float = 2.0) -> Column:
+    """(lower, estimate, upper) key-set Jaccard of two tuple sketches.
+
+    Summary values do not participate in the comparison
+    (tuple/jaccard_similarity.rs:75-101 delegates to the key-only
+    JaccardSimilarityOperator) — so this IS theta_jaccard applied to the
+    tuple struct, which shares the kmv/theta field layout.
+    """
+    from .theta import theta_jaccard
+
+    return theta_jaccard(a, b, num_std_devs)
+
+
 def tuple_estimate(sketch: Column) -> Column:
     """Distinct-key estimate — same estimator as the theta sketch."""
     return sketch["retained"].cast("double") / (

@@ -123,6 +123,14 @@ def embedding_dup_pairs(
     of MinHash-LSH + Jaccard verify. The band join carries ids only through
     the shared cap+star machinery (operators/buckets.py); vectors are
     re-attached to the distinct pair set for the verify.
+
+    Output is pair-COMPLETE only while every band bucket has <= max_bucket
+    members (same contract as simhash_pairs): an over-cap bucket emits only
+    hub-star candidates, and star edges that fail the cosine verify leave
+    their members unpaired — fine for the dedup pipeline (connected
+    components re-links via the hub) but NOT for a standalone all-pairs
+    query. Callers needing completeness must pass a max_bucket provably
+    above any bucket size at their scale (see _q_embedding_dup_pairs_lsh).
     """
     planes = _hyperplanes(dim, n_planes, seed)
     keys = vectors.select(

@@ -49,7 +49,12 @@ def exact_representatives(signatures: DataFrame) -> DataFrame:
     # keys relation (hash map of (sha, rep_id) rows), never the 2KB-wide
     # signature rows, whose per-partition build cannot spill and OOMs at
     # ~1.5M+ files
-    s, k = signatures.alias("s"), keys.alias("k").hint("shuffle_hash")
+    # dropDuplicates restores the one-row-per-sha invariant when the corpus
+    # carries duplicate (repo, path, commit) rows: without it the rep's
+    # (sha, file_id) matches each copy and the join emits one rep row per
+    # copy. Same shuffle key as the join, so the exchange is reused.
+    payload = signatures.dropDuplicates(["content_sha", "file_id"])
+    s, k = payload.alias("s"), keys.alias("k").hint("shuffle_hash")
     return s.join(
         k,
         (F.col("s.content_sha") == F.col("k.content_sha"))

@@ -377,6 +377,38 @@ def test_ngram_jaccard_prefix_filter_matches_exhaustive(spark):
         assert len(fast) > 0
 
 
+def test_ngram_jaccard_prefix_boundary_at_exact_threshold(spark):
+    """J exactly == threshold with B ⊂ A must survive the prefix filter.
+
+    (1-0.8)*5 is an exact integer whose float form is 0.9999...: the naive
+    floor((1-t)*n)+1 bound shortens the prefix by one and silently drops
+    whichever subset-pair's missing element is A's minimum hash. width=1
+    makes shingles == tokens, so dropping each token in turn guarantees one
+    variant removes the min-hash element.
+    """
+    toks = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [(0, " ".join(toks))]
+    for i, drop in enumerate(toks):
+        rows.append((i + 1, " ".join(t for t in toks if t != drop)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in ngram_jaccard_pairs(df, width=1, threshold=0.8).collect()
+    }
+    assert got == {(0, i) for i in range(1, 6)}
+
+
+def test_ngram_jaccard_prefix_plan_has_no_window(spark):
+    """Prefix extraction is a per-row slice — no Window/sort exchange."""
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 30))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, threshold=0.8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_tuple_sketch_exact_and_union_mergeability(spark):
     from datasketches_rust_spark.functions.tuple import (
         tuple_estimate,
@@ -516,3 +548,83 @@ def test_theta_sampling_probability(spark):
     assert row["retained"] < 0.02 * n  # ~1% of hashes survive sampling
     est = row["retained"] / (row["theta"] / float(1 << 63))
     assert est == pytest.approx(n, rel=0.1)
+
+
+def test_tuple_set_ops_exact_mode(spark):
+    """tuple_intersection / tuple_a_not_b / tuple_jaccard reference
+    contracts (tuple/intersection.rs doctest, tuple/a_not_b.rs:76-105,
+    tuple/jaccard_similarity.rs:75-101) on exact-mode sketches."""
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_a_not_b,
+        tuple_intersection,
+        tuple_jaccard,
+        tuple_sketch_agg,
+    )
+
+    rows_a = spark.range(1000).select(
+        F.col("id").alias("k"), F.lit(2.0).alias("v"), F.lit("A").alias("seg")
+    )
+    rows_b = spark.range(500, 1500).select(
+        F.col("id").alias("k"), F.lit(3.0).alias("v"), F.lit("B").alias("seg")
+    )
+    segs = tuple_sketch_agg(rows_a.unionByName(rows_b), ["seg"], "k", "v", k=4096)
+    a = segs.where("seg = 'A'").select(F.col("sketch").alias("sa"))
+    b = segs.where("seg = 'B'").select(F.col("sketch").alias("sb"))
+    out = (
+        a.crossJoin(b)
+        .select(
+            tuple_intersection(F.col("sa"), F.col("sb")).alias("i"),
+            tuple_a_not_b(F.col("sa"), F.col("sb")).alias("d"),
+            tuple_jaccard(F.col("sa"), F.col("sb")).alias("j"),
+        )
+        .collect()[0]
+    )
+    i, d, j = out["i"], out["d"], out["j"]
+    # shared keys 500..999: summaries AddAssign to 2+3
+    assert i["retained"] == 500
+    assert sum(i["summaries"]) == pytest.approx(500 * 5.0)
+    assert list(i["kmv"]) == sorted(i["kmv"])
+    # A-only keys 0..499: A's summaries kept, B's ignored
+    assert d["retained"] == 500
+    assert sum(d["summaries"]) == pytest.approx(500 * 2.0)
+    assert set(d["kmv"]) & set(i["kmv"]) == set()
+    # exact mode collapses the jaccard triple to 500/1500
+    assert j["lower"] == j["estimate"] == j["upper"] == pytest.approx(1 / 3)
+
+
+def test_theta_jaccard_column_matches_kernel(spark):
+    """JVM theta_jaccard == sigkit.kmv.jaccard_bounds (estimation mode
+    exercises the A&S 26.5.22 proportion bounds; exact mode collapses)."""
+    from datasketches_rust_spark.functions.theta import theta_jaccard
+    from datasketches_rust_spark.sigkit.kmv import jaccard_bounds, kmv_signatures
+    from datasketches_rust_spark.sigkit.xxhash import xxh64_u64
+
+    ids = np.arange(40_000, dtype=np.uint64)
+    h = np.sort(xxh64_u64(ids, seed=55) >> np.uint64(1))
+    a_full, b_full = h[:30_000], h[10_000:40_000]  # true J = 0.5
+    cases = []
+    for k in (512, 2048):  # estimation mode
+        va, _, ta, _ = kmv_signatures(a_full, np.array([0, len(a_full)]), k)
+        vb, _, tb, _ = kmv_signatures(b_full, np.array([0, len(b_full)]), k)
+        cases.append((va, int(ta[0]), vb, int(tb[0])))
+    cases.append((a_full[:100], (1 << 63) - 1, b_full[:100], (1 << 63) - 1))  # exact
+    cases.append((a_full[:50], (1 << 63) - 1, a_full[:50], (1 << 63) - 1))  # identical
+
+    rows = [
+        (va.astype(np.int64).tolist(), ta, vb.astype(np.int64).tolist(), tb)
+        for va, ta, vb, tb in cases
+    ]
+    df = spark.createDataFrame(
+        list(zip(range(len(rows)), *zip(*rows))),
+        "i int, ka array<bigint>, ta bigint, kb array<bigint>, tb bigint",
+    )
+    sa = F.struct(F.col("ka").alias("kmv"), F.col("ta").alias("theta"))
+    sb = F.struct(F.col("kb").alias("kmv"), F.col("tb").alias("theta"))
+    got = {
+        r["i"]: (r["j"]["lower"], r["j"]["estimate"], r["j"]["upper"])
+        for r in df.select("i", theta_jaccard(sa, sb).alias("j")).collect()
+    }
+    for idx, (va, ta, vb, tb) in enumerate(cases):
+        exp = jaccard_bounds(va, ta, vb, tb)
+        for g, e in zip(got[idx], exp):
+            assert g == pytest.approx(e, abs=2e-6), (idx, got[idx], exp)
