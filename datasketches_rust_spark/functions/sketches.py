@@ -22,6 +22,8 @@ group of rows), mirroring the reference's merge contracts:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # ----------------------------------------------------------------- count-min
@@ -121,6 +123,69 @@ def bloom_build(
         df.select(F.explode(_bloom_positions(F.col(col), num_bits, num_hashes)).alias("bit"))
         .distinct()
     )
+
+
+class BloomFilterDF(NamedTuple):
+    """A bloom filter whose bit array is a distinct-positions DataFrame,
+    carrying its (num_bits, num_hashes) config so complement/intersect are
+    well-defined — the is_compatible contract of bloom/sketch.rs:179-186.
+    The set-bit representation makes union/intersect sparse joins instead
+    of dense bit-array scans; invert materializes against the explicit
+    ``range(num_bits)`` universe."""
+
+    bits: DataFrame
+    num_bits: int
+    num_hashes: int
+
+
+def bloom_filter(
+    df: DataFrame, col: str, num_bits: int = 1 << 22, num_hashes: int = 5
+) -> BloomFilterDF:
+    """Build a config-carrying bloom filter from a column."""
+    return BloomFilterDF(bloom_build(df, col, num_bits, num_hashes), num_bits, num_hashes)
+
+
+def _bloom_check_compatible(a: BloomFilterDF, b: BloomFilterDF) -> None:
+    """Same size + hash count, as bloom/sketch.rs is_compatible requires."""
+    if (a.num_bits, a.num_hashes) != (b.num_bits, b.num_hashes):
+        raise ValueError(
+            f"incompatible bloom filters: {(a.num_bits, a.num_hashes)} "
+            f"vs {(b.num_bits, b.num_hashes)}"
+        )
+
+
+def bloom_union(a: BloomFilterDF, b: BloomFilterDF) -> BloomFilterDF:
+    """Bitwise OR (bloom/sketch.rs:179-192) = distinct union of positions."""
+    _bloom_check_compatible(a, b)
+    return a._replace(bits=a.bits.unionByName(b.bits).distinct())
+
+
+def bloom_intersect(a: BloomFilterDF, b: BloomFilterDF) -> BloomFilterDF:
+    """Bitwise AND (bloom/sketch.rs:224-237) = inner join of position sets."""
+    _bloom_check_compatible(a, b)
+    return a._replace(bits=a.bits.join(b.bits, "bit", "left_semi"))
+
+
+def bloom_invert(a: BloomFilterDF) -> BloomFilterDF:
+    """Bitwise NOT (bloom/sketch.rs:255-260): anti-join of the explicit
+    bit universe against the set positions. The universe is a ``range``
+    scan — no materialized table, and the anti-join broadcasts the set
+    side when small."""
+    spark = a.bits.sparkSession
+    universe = spark.range(a.num_bits).select(F.col("id").alias("bit"))
+    return a._replace(bits=universe.join(a.bits, "bit", "left_anti"))
+
+
+def bloom_contains(
+    probe: DataFrame, col: str, f: BloomFilterDF
+) -> DataFrame:
+    """probe + ``might_contain`` against a config-carrying filter."""
+    return bloom_might_contain(probe, col, f.bits, f.num_bits, f.num_hashes)
+
+
+def bloom_bits_used(f: BloomFilterDF) -> int:
+    """Number of set bits (bloom/sketch.rs bits_used; is_empty == 0)."""
+    return f.bits.count()
 
 
 def bloom_might_contain(

@@ -35,6 +35,40 @@ def _h63(col) -> Column:
     return F.shiftrightunsigned(F.xxhash64(col), 1)
 
 
+def canonical_double(col: Column) -> Column:
+    """Canonical-float hashing contract (hash/value/canonical_float,
+    hash/value/mod.rs:24-35): signed zeros hash the same, every NaN maps to
+    one canonical NaN, and equal f32/f64 values hash the same (via the f64
+    widening cast). Spark's xxhash64 already normalizes -0.0 and NaN *within*
+    a double column; the cast closes the f32-vs-f64 gap and the explicit
+    normalization pins the contract independent of engine behavior."""
+    c = col.cast("double")
+    return F.when(F.isnan(c), F.lit(float("nan"))).otherwise(c + F.lit(0.0))
+
+
+def canonical_value(df: DataFrame, col_name: str) -> Column:
+    """Column wrapped per the reference's value-hashing strategies
+    (hash/value/mod.rs:24-78): floats → canonical f64; short integers →
+    64-bit sign extension (SignExtend — a plain widening cast in Spark,
+    whose integral types are all signed, so NaturalExtend's unsigned
+    variant has no Spark counterpart); everything else hashes as-is."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        ShortType,
+    )
+
+    dt = df.schema[col_name].dataType
+    c = F.col(col_name)
+    if isinstance(dt, (FloatType, DoubleType)):
+        return canonical_double(c)
+    if isinstance(dt, (ByteType, ShortType, IntegerType)):
+        return c.cast("long")
+    return c
+
+
 def theta_prescreen(
     df: DataFrame,
     group_cols: list[str],
@@ -42,6 +76,7 @@ def theta_prescreen(
     k: int,
     rsd: float = 0.02,
     safety: float = 2.0,
+    dhat_sample: float | None = None,
 ) -> DataFrame:
     """Insert-time theta screen: (group..., __h) rows with __h <= theta_hat.
 
@@ -54,12 +89,29 @@ def theta_prescreen(
     relative sd ~1/sqrt(k)) preserves the k smallest exactly, so
     safety=2.0 leaves the sketch bit-identical w.p. 1 - exp(-Theta(k)).
     Groups with D_hat <= 2*safety*k skip the screen (exact mode).
+
+    Cost/scale notes (the two deliberate trade-offs of this design):
+
+    - The D̂ pass is a SECOND scan of (group_cols, value_col). It is kept
+      because the shuffle it bounds is the expensive resource, and when the
+      input is a checkpointed/cached stage (the pipeline case) the rescan
+      is cheap. Where even that matters, ``dhat_sample=f`` computes D̂ on a
+      Bernoulli f-sample: a sample's distinct count can only UNDERcount,
+      which inflates theta_hat — the safe direction (weaker screening,
+      never a wrong sketch) — so sampling trades screening strength for
+      scan cost with no correctness risk.
+    - The per-group theta_hat table is broadcast: group cardinality must
+      fit in a broadcast (~10M groups at two longs each ≈ 160 MB). Above
+      that, disable the screen and let the salted two-level agg carry the
+      state — with that many groups, per-group row counts are small and
+      screening buys little anyway.
     """
-    h = _h63(F.col(value_col))
+    h = _h63(canonical_value(df, value_col))
     base = df.select(*group_cols, h.alias("__h")).where(
         h != 0  # zero-hash screening (hash_table.rs:160-163)
     )
-    dhat = df.groupBy(*group_cols).agg(
+    dsrc = df.sample(dhat_sample, seed=9001) if dhat_sample else df
+    dhat = dsrc.groupBy(*group_cols).agg(
         F.approx_count_distinct(value_col, rsd).alias("__dhat")
     )
     that = (
@@ -74,7 +126,10 @@ def theta_prescreen(
     )
     bounds = dhat.select(*group_cols, that)
     if group_cols:
-        base = base.join(F.broadcast(bounds), group_cols)
+        # left join: under dhat_sample a group can be absent from the
+        # sample entirely — its rows must pass unscreened, never be dropped
+        base = base.join(F.broadcast(bounds), group_cols, "left")
+        base = base.withColumn("__that", F.coalesce(F.col("__that"), F.lit(MAX_THETA63)))
     else:
         base = base.crossJoin(F.broadcast(bounds))
     return base.where(F.col("__h") <= F.col("__that")).drop("__that")
@@ -87,6 +142,7 @@ def theta_sketch_agg(
     k: int = 4096,
     screen: bool = True,
     p: float = 1.0,
+    dhat_sample: float | None = None,
 ) -> DataFrame:
     """groupBy(group_cols) → theta sketch of distinct value_col per group.
 
@@ -104,9 +160,9 @@ def theta_sketch_agg(
     """
     init_theta = MAX_THETA63 if p >= 1.0 else int(p * MAX_THETA63)
     if screen:
-        screened = theta_prescreen(df, group_cols, value_col, k)
+        screened = theta_prescreen(df, group_cols, value_col, k, dhat_sample=dhat_sample)
     else:
-        h = _h63(F.col(value_col))
+        h = _h63(canonical_value(df, value_col))
         screened = df.select(*group_cols, h.alias("__h")).where(h != 0)
     if p < 1.0:
         screened = screened.where(F.col("__h") < F.lit(init_theta))

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .theta import MAX_THETA63, _h63
+from .theta import MAX_THETA63, _h63, canonical_value
 
 _SALT_SHARDS = 64
 
@@ -49,7 +49,7 @@ def tuple_sketch_agg(
     entries per group) -> salted collect of (hash, summary) structs ->
     merge-sort + k-truncate.
     """
-    h = _h63(F.col(key_col))
+    h = _h63(canonical_value(df, key_col))
     base = df.select(
         *group_cols,
         h.alias("__h"),

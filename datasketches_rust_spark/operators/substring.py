@@ -49,10 +49,77 @@ def rolling_window_hashes(text: bytes, window: int) -> np.ndarray:
     return (s[i + window] - s[i]) * coef
 
 
-def _hash_batches(id_col: str, text_col: str, window: int):
-    """One pass emitting every window hash, prefix rows flagged __p=1."""
+def _bloom_positions_np(h: np.ndarray, m: int) -> np.ndarray:
+    """Two bit positions per uint64 hash in a power-of-two universe m.
+    The second probe is a Fibonacci-mix of the first so the pair is
+    decorrelated; both sides (builder + prober) share this function."""
+    mask = np.uint64(m - 1)
+    p1 = h & mask
+    p2 = (h * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(17)) & mask
+    return np.concatenate([p1, p2])
+
+
+def _bloom_hit(bitmap: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
+    """Boolean mask: both probe bits set."""
+    mask = np.uint64(m - 1)
+    p1 = h & mask
+    p2 = (h * np.uint64(0x9E3779B97F4A7C15) >> np.uint64(17)) & mask
+    b1 = (bitmap[(p1 >> np.uint64(3)).astype(np.int64)] >> (p1 & np.uint64(7)).astype(np.uint8)) & 1
+    b2 = (bitmap[(p2 >> np.uint64(3)).astype(np.int64)] >> (p2 & np.uint64(7)).astype(np.uint8)) & 1
+    return (b1 & b2).astype(bool)
+
+
+def _prefix_bloom_bitmap(
+    base: DataFrame, id_col: str, text_col: str, window: int, m: int
+) -> bytes:
+    """OR-reduced bitmap of every doc's prefix hash.
+
+    The prefix hash needs only the first ``window`` bytes of each doc, so
+    this pass scans substring(text, 1, window) — O(n_docs * window) bytes,
+    not the corpus. Per-partition bitmaps (m/8 bytes) are OR-reduced
+    driver-side; the prefix rows are coalesced so at most 8 bitmaps ship.
+    """
+    pre = base.select(F.substring(F.col(text_col), 1, window).alias("__t")).coalesce(8)
+
+    def bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            hs = []
+            for txt in pdf["__t"]:
+                b = str(txt).encode("utf-8")[:window]
+                if len(b) == window:
+                    hs.append(rolling_window_hashes(b, window)[0])
+            if hs:
+                pos = _bloom_positions_np(np.asarray(hs, dtype=np.uint64), m)
+                np.bitwise_or.at(
+                    bm,
+                    (pos >> np.uint64(3)).astype(np.int64),
+                    np.left_shift(1, (pos & np.uint64(7)).astype(np.int64)).astype(np.uint8),
+                )
+            seen = True
+        if seen:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for row in pre.mapInPandas(bitmaps, "bm binary").collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def _hash_batches(id_col: str, text_col: str, window: int, bloom=None, m: int = 0):
+    """One pass emitting window hashes, prefix rows flagged __p=1.
+
+    With ``bloom`` (a broadcast bitmap of all prefix hashes), non-prefix
+    window hashes that miss the bloom are dropped IN the kernel — the
+    semi-join pushdown that keeps the container side of the downstream
+    join near O(n_docs) instead of O(total_chars). No recall loss: the
+    bloom has no false negatives (every prefix was inserted), and bloom
+    false positives are removed by the exact ``instr`` verify.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bitmap = np.frombuffer(bloom.value, dtype=np.uint8) if bloom is not None else None
         for pdf in batches:
             ids, hashes, flags = [], [], []
             for did, txt in zip(pdf[id_col], pdf[text_col]):
@@ -61,6 +128,8 @@ def _hash_batches(id_col: str, text_col: str, window: int):
                     continue
                 prefix = h[0]
                 u = np.unique(h)
+                if bitmap is not None:
+                    u = u[_bloom_hit(bitmap, u, m) | (u == prefix)]
                 ids.append(np.repeat(np.asarray([did]), len(u)))
                 hashes.append(u.view(np.int64))
                 flags.append((u == prefix).astype(np.int8))
@@ -81,15 +150,33 @@ def containment_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 32,
+    prefilter: bool = True,
 ) -> DataFrame:
     """(id_a contained-in id_b) pairs, exact-verified. Requires every doc
-    length >= window (true for all engine inputs; see module doc)."""
+    length >= window (true for all engine inputs; see module doc).
+
+    ``prefilter`` (default) broadcasts a bloom bitmap of the n_docs prefix
+    hashes into the window-hash kernel, so the container side emits only
+    windows that can possibly match a prefix — shuffle input drops from
+    O(total distinct window positions) to ~n_docs + fpp*total, the classic
+    bloom semi-join pushdown. Bitmap is sized 16 bits/doc (fpp ~1.4% at
+    two probes), capped at 2^26 bits (8 MB broadcast; beyond ~4M docs per
+    job the fpp degrades gracefully and the exact verify still holds).
+    Identical output either way (no false negatives; FPs die in verify).
+    """
     base = docs.select(F.col(id_col), F.col(text_col))
     id_t = base.schema[0].dataType.simpleString()
     schema = f"__id {id_t}, __h long, __p tinyint"
 
+    bloom, m = None, 0
+    if prefilter:
+        n_docs = base.count()
+        m = max(64, min(1 << 26, 1 << int(16 * max(n_docs, 1)).bit_length()))
+        bitmap = _prefix_bloom_bitmap(base, id_col, text_col, window, m)
+        bloom = base.sparkSession.sparkContext.broadcast(bitmap)
+
     # one kernel pass over the corpus, reused for both join sides
-    hashed = base.mapInPandas(_hash_batches(id_col, text_col, window), schema)
+    hashed = base.mapInPandas(_hash_batches(id_col, text_col, window, bloom, m), schema)
     hashed = hashed.localCheckpoint(eager=False)
     windows = hashed.select("__id", "__h")
     prefixes = hashed.where(F.col("__p") == 1).select("__id", "__h")

@@ -628,3 +628,139 @@ def test_theta_jaccard_column_matches_kernel(spark):
         exp = jaccard_bounds(va, ta, vb, tb)
         for g, e in zip(got[idx], exp):
             assert g == pytest.approx(e, abs=2e-6), (idx, got[idx], exp)
+
+
+def test_bloom_set_ops_reference_semantics(spark):
+    """union=OR / intersect=AND / invert=NOT over the explicit bit universe
+    (bloom/sketch.rs:179-197, :224-237, :255-260) — exact structural check
+    vs python-side set algebra on the same positions, plus the doctests'
+    behavioral contracts."""
+    from datasketches_rust_spark.functions.sketches import (
+        bloom_bits_used,
+        bloom_contains,
+        bloom_filter,
+        bloom_intersect,
+        bloom_invert,
+        bloom_union,
+    )
+
+    nb, k = 1 << 12, 5
+    f1 = bloom_filter(spark.createDataFrame([("a",), ("b",)], "v string"), "v", nb, k)
+    f2 = bloom_filter(spark.createDataFrame([("b",), ("c",)], "v string"), "v", nb, k)
+    p1 = {r["bit"] for r in f1.bits.collect()}
+    p2 = {r["bit"] for r in f2.bits.collect()}
+
+    u = bloom_union(f1, f2)
+    i = bloom_intersect(f1, f2)
+    inv = bloom_invert(f1)
+    assert {r["bit"] for r in u.bits.collect()} == p1 | p2
+    assert {r["bit"] for r in i.bits.collect()} == p1 & p2
+    assert {r["bit"] for r in inv.bits.collect()} == set(range(nb)) - p1
+    assert bloom_bits_used(u) == len(p1 | p2)
+
+    probe = spark.createDataFrame([("a",), ("b",), ("c",), ("zzz",)], "v string")
+    got_u = {r["v"]: r["might_contain"] for r in bloom_contains(probe, "v", u).collect()}
+    assert got_u["a"] and got_u["b"] and got_u["c"]
+    got_i = {r["v"]: r["might_contain"] for r in bloom_contains(probe, "v", i).collect()}
+    assert got_i["b"]  # in both
+    # an inserted item's bits are all set pre-invert, hence all clear after
+    got_inv = {r["v"]: r["might_contain"] for r in bloom_contains(probe, "v", inv).collect()}
+    assert not got_inv["a"] and not got_inv["b"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible"):
+        bloom_union(f1, bloom_filter(probe, "v", nb, k + 1))
+
+
+def test_theta_canonical_value_hashing(spark):
+    """hash/value contract (hash/value/mod.rs:24-78): [-0.0, 0.0, NaN, NaN]
+    retains 2 distinct keys; equal f32/f64 values and equal int/long values
+    produce bit-identical sketches."""
+    import struct as _struct
+
+    nan2 = _struct.unpack("<d", _struct.pack("<Q", 0x7FF8000000000001))[0]
+    df = spark.createDataFrame(
+        [(-0.0,), (0.0,), (float("nan"),), (nan2,)], "v double"
+    )
+    row = theta_sketch_agg(df, [], "v", k=64).select("sketch.*").collect()[0]
+    assert row["retained"] == 2
+
+    vals = [1.5, 2.5, -3.25, 0.0]
+    as_f32 = spark.createDataFrame([(v,) for v in vals], "v float")
+    as_f64 = spark.createDataFrame([(v,) for v in vals], "v double")
+    kf = theta_sketch_agg(as_f32, [], "v", k=64).select("sketch.kmv").collect()[0][0]
+    kd = theta_sketch_agg(as_f64, [], "v", k=64).select("sketch.kmv").collect()[0][0]
+    assert list(kf) == list(kd)
+
+    as_int = spark.createDataFrame([(i,) for i in (1, -2, 70)], "v int")
+    as_long = spark.createDataFrame([(i,) for i in (1, -2, 70)], "v long")
+    ki = theta_sketch_agg(as_int, [], "v", k=64).select("sketch.kmv").collect()[0][0]
+    kl = theta_sketch_agg(as_long, [], "v", k=64).select("sketch.kmv").collect()[0][0]
+    assert list(ki) == list(kl)
+
+
+def test_theta_prescreen_dhat_sample_safe(spark):
+    """Sample-based D̂ (one cheap scan instead of two full ones) must yield
+    the bit-identical sketch: underestimating D inflates theta_hat — the
+    safe direction — and groups missing from the sample pass unscreened."""
+    df = spark.range(300_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 50_000).alias("v")
+    )
+    # one tiny group that a 1% sample will often miss entirely
+    tiny = spark.range(5).select(F.lit(7).alias("g"), F.col("id").alias("v"))
+    df = df.unionByName(tiny)
+    full = {
+        r["g"]: (list(r["sketch"]["kmv"]), r["sketch"]["theta"])
+        for r in theta_sketch_agg(df, ["g"], "v", k=512).collect()
+    }
+    sampled = {
+        r["g"]: (list(r["sketch"]["kmv"]), r["sketch"]["theta"])
+        for r in theta_sketch_agg(df, ["g"], "v", k=512, dhat_sample=0.01).collect()
+    }
+    assert full == sampled
+    assert set(full) == {0, 1, 2, 7}
+
+
+def test_substring_bloom_prefilter_reduction_and_equivalence(spark):
+    """The bloom semi-join pushdown drops the container-side join input
+    >= 10x on long docs with identical output (no false negatives by
+    construction; bloom FPs die in the exact instr verify)."""
+    import random
+
+    from datasketches_rust_spark.operators.substring import _hash_batches
+
+    rng = random.Random(31)
+    docs = []
+    for i in range(40):  # long docs: ~5000 chars of unique-ish content
+        docs.append((i, " ".join(f"tok{i}_{j}_{rng.randint(0, 9)}" for j in range(700))))
+    # real containments: doc 100/101 are verbatim slices of docs 0/1
+    docs.append((100, docs[0][1][100:700]))
+    docs.append((101, docs[1][1][2000:2600]))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    fast = {
+        (r["doc_id_contained"], r["doc_id_container"])
+        for r in containment_pairs(df, window=32).collect()
+    }
+    full = {
+        (r["doc_id_contained"], r["doc_id_container"])
+        for r in containment_pairs(df, window=32, prefilter=False).collect()
+    }
+    assert fast == full
+    assert {(100, 0), (101, 1)} <= fast
+
+    # measure kernel emission volume directly (rows entering the join)
+    base = df.select("doc_id", "text")
+    unfiltered = base.mapInPandas(
+        _hash_batches("doc_id", "text", 32), "__id long, __h long, __p tinyint"
+    ).count()
+    n = base.count()
+    m = max(64, min(1 << 26, 1 << int(16 * n).bit_length()))
+    from datasketches_rust_spark.operators.substring import _prefix_bloom_bitmap
+
+    bm = spark.sparkContext.broadcast(_prefix_bloom_bitmap(base, "doc_id", "text", 32, m))
+    filtered = base.mapInPandas(
+        _hash_batches("doc_id", "text", 32, bm, m), "__id long, __h long, __p tinyint"
+    ).count()
+    assert filtered * 10 <= unfiltered, (filtered, unfiltered)
