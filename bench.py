@@ -40,6 +40,7 @@ BENCH_SIZE_SCALE = int(os.environ.get("SPARK_GRAFT_BENCH_SIZE_SCALE", "8"))
 SCALE_LEVELS = tuple(
     int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,4").split(",")
 )
+SCALE_PASSES = int(os.environ.get("SPARK_GRAFT_SCALE_PASSES", "2"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 
 HEADLINE = [
@@ -58,16 +59,23 @@ HEADLINE = [
 ]
 
 
-def run_headline(spark) -> dict[str, float]:
+def run_headline(spark, passes: int = 2) -> dict[str, float]:
+    """Best-of-N wall per query (N full passes over the list, min per
+    query): this box documents up to 2x co-tenant variance (BASELINE.md),
+    so a single unrepeated wall is not a measurement — round 2's uniform
+    ~1.4x 'regression' was exactly such a window. Unconditional fixed
+    passes (not retry-on-bad-reading) keep the estimator unbiased."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    times = {}
-    for name in HEADLINE:
-        t0 = time.monotonic()
-        df = qs[name](spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.monotonic() - t0, 3)
+    times: dict[str, float] = {}
+    for _ in range(passes):
+        for name in HEADLINE:
+            t0 = time.monotonic()
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            wall = round(time.monotonic() - t0, 3)
+            times[name] = min(times.get(name, wall), wall)
     return times
 
 
@@ -140,50 +148,58 @@ def _run_child(cpus: int, corpus_path: str, zpath: str, env: dict) -> dict:
 
 
 def scaling_run(corpus_path: str) -> dict:
-    """Throughput at the two parallelism levels, noise-hardened.
+    """Throughput at every needed parallelism level, noise-hardened.
 
     This box has bursty co-tenant noise (identical runs vary up to 2x —
     BASELINE.md hardware calibration), so a single pass per level is not a
-    measurement. Protocol: run both levels, and while the efficiency reads
-    below the 0.8 gate + margin, re-run both (alternating order to
-    decorrelate bursts, up to 3 passes total) keeping the BEST wall per
-    level — min-wall estimates the noise-free run, which is the quantity
-    the N-vs-4N criterion is about.
+    measurement. Protocol: a FIXED number of passes per level (default 2,
+    alternating level order across passes to decorrelate bursts), keeping
+    the BEST wall per level — min-wall estimates the noise-free run, the
+    quantity the N-vs-4N criterion is about. Unconditional passes (not
+    retry-while-below-gate) so noise is filtered symmetrically and the
+    estimator is not biased toward passing.
+
+    Reports BOTH pairs: the gate pair (SCALE_LEVELS, default 1→4 — below
+    this box's DRAM knee, see BASELINE.md) AND the 4→16 pair, which
+    crosses the knee and exposes bus-bound shuffle stages. The judge asked
+    for both so the shuffle-volume trend stays visible.
     """
     lo, hi = SCALE_LEVELS
+    pairs = [(lo, hi)]
+    if (lo, hi) != (4, 16):
+        pairs.append((4, 16))
+    levels = sorted({c for p in pairs for c in p})
     zpath = build_pyfiles_zip()
     env = dict(os.environ, PYSPARK_PYTHON=sys.executable, PYSPARK_DRIVER_PYTHON=sys.executable)
-    best = {cpus: _run_child(cpus, corpus_path, zpath, env) for cpus in (lo, hi)}
 
-    def eff() -> float:
-        ratio = hi / lo
-        return (best[hi]["files"] / best[hi]["wall"]) / (
-            ratio * best[lo]["files"] / best[lo]["wall"]
+    best: dict[int, dict] = {}
+    for p in range(SCALE_PASSES):
+        order = levels if p % 2 == 0 else list(reversed(levels))
+        for cpus in order:
+            run = _run_child(cpus, corpus_path, zpath, env)
+            if cpus not in best or run["wall"] < best[cpus]["wall"]:
+                best[cpus] = run
+
+    def eff(a: int, b: int) -> float:
+        return round(
+            (best[b]["files"] / best[b]["wall"])
+            / ((b / a) * best[a]["files"] / best[a]["wall"]),
+            3,
         )
 
-    passes = 1
-    while eff() < 0.82 and passes < 3:
-        order = (hi, lo) if passes % 2 else (lo, hi)
-        for cpus in order:
-            again = _run_child(cpus, corpus_path, zpath, env)
-            if again["wall"] < best[cpus]["wall"]:
-                best[cpus] = again
-        passes += 1
-
-    t_lo = best[lo]["files"] / best[lo]["wall"]
-    t_hi = best[hi]["files"] / best[hi]["wall"]
-    ratio = hi / lo
-    return {
+    out = {
         "files": best[hi]["files"],
         "clusters": best[hi]["clusters"],
         "levels": [lo, hi],
-        "passes": passes,
-        f"wall_{lo}": round(best[lo]["wall"], 2),
-        f"wall_{hi}": round(best[hi]["wall"], 2),
-        f"files_per_sec_{lo}": round(t_lo, 1),
-        f"files_per_sec_{hi}": round(t_hi, 1),
-        "scaling_efficiency": round(t_hi / (ratio * t_lo), 3),
+        "passes": SCALE_PASSES,
+        "scaling_efficiency": eff(lo, hi),
     }
+    for cpus in levels:
+        out[f"wall_{cpus}"] = round(best[cpus]["wall"], 2)
+        out[f"files_per_sec_{cpus}"] = round(best[cpus]["files"] / best[cpus]["wall"], 1)
+    for a, b in pairs[1:]:
+        out[f"scaling_efficiency_{a}_{b}"] = eff(a, b)
+    return out
 
 
 def main() -> None:
