@@ -113,7 +113,13 @@ class DedupPipeline:
             input_fp,
             lambda: compute_signatures(corpus, self.cfg),
         )
-        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
+        # narrow (file_id, content_sha) projection materialized ONCE: the
+        # rep keys agg, the duplicate probe and the final cluster map are
+        # all narrow consumers, and a row-cached wide table gives them no
+        # column pruning — this 60B/row table does (wide rows are then
+        # scanned exactly once more, by the rep payload join)
+        ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
+        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs, ids))
         cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
         verified, fp4 = self._stage(
             "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
@@ -126,7 +132,7 @@ class DedupPipeline:
         def compute_clusters():
             assign = connected_components(edges, checkpoint_dir=self.dir)
             return (
-                sigs.select("file_id", "content_sha")
+                ids
                 .join(
                     assign.withColumnRenamed("node", "content_sha"),
                     "content_sha",
@@ -154,7 +160,8 @@ class DedupPipeline:
             input_fp,
             lambda: compute_signatures(corpus, self.cfg),
         )
-        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs))
+        ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
+        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs, ids))
         cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
         verified, fp4 = self._stage(
             "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
@@ -173,6 +180,6 @@ class DedupPipeline:
                 F.lit("near").alias("kind"),
             )
         )
-        ex = exact_pairs(sigs.select("file_id", "content_sha"))
+        ex = exact_pairs(ids)
         self.flush_metrics()
         return ex.unionByName(near)

@@ -81,7 +81,8 @@ def main(corpus_path: str, cpus: int) -> None:
             return out
 
         sigs = timed("signatures", compute_signatures(corpus, cfg))
-        reps = timed("reps", exact_representatives(sigs))
+        ids = timed("ids", sigs.select("file_id", "content_sha"))
+        reps = timed("reps", exact_representatives(sigs, ids))
         cands = timed("candidates", candidate_pairs(reps, cfg))
         verified = timed("verify", verify_pairs(cands, reps, cfg))
         edges = verified.where("accepted").select(
@@ -90,7 +91,7 @@ def main(corpus_path: str, cpus: int) -> None:
         t = time.monotonic()
         assign = connected_components(edges)
         clusters = (
-            DedupPipeline.file_ids(corpus)
+            ids
             .join(assign.withColumnRenamed("node", "content_sha"), "content_sha", "left")
             .select(
                 "file_id",

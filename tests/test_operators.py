@@ -764,3 +764,27 @@ def test_substring_bloom_prefilter_reduction_and_equivalence(spark):
         _hash_batches("doc_id", "text", 32, bm, m), "__id long, __h long, __p tinyint"
     ).count()
     assert filtered * 10 <= unfiltered, (filtered, unfiltered)
+
+
+def test_exact_representatives_duplicate_corpus_rows(spark):
+    """Duplicate (repo, path, commit) input rows must still yield exactly
+    one representative row per content_sha (via the narrow duplicate probe
+    — the wide dropDuplicates path is only taken when dups exist)."""
+    from datasketches_rust_spark.operators.lsh import exact_representatives
+    from datasketches_rust_spark.operators.signatures import compute_signatures
+
+    rows = [
+        ("r1", "a.py", "c1", "py", "alpha beta gamma delta epsilon zeta " * 4),
+        ("r1", "b.py", "c1", "py", "alpha beta gamma delta epsilon zeta " * 4),
+        ("r2", "c.py", "c1", "py", "totally different content here okay " * 4),
+    ]
+    corpus = spark.createDataFrame(
+        rows + rows[:1] * 3,  # the first row appears 4x verbatim
+        "repo string, path string, commit string, lang string, content string",
+    )
+    sigs = compute_signatures(corpus, CFG)
+    reps = exact_representatives(sigs).collect()
+    shas = [r["content_sha"] for r in reps]
+    assert len(shas) == len(set(shas)) == 2  # two distinct contents, one row each
+    n_copies = {bytes(r["content_sha"]): r["n_copies"] for r in reps}
+    assert sorted(n_copies.values()) == [1, 5]  # 4 dups + b.py share content
