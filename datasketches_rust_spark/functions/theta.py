@@ -391,6 +391,25 @@ def theta_jaccard(a: Column, b: Column, num_std_devs: float = 2.0) -> Column:
     def _t(lo, mid, hi) -> Column:
         return F.struct(lo.alias("lower"), mid.alias("estimate"), hi.alias("upper"))
 
+    return _jaccard_cases(a, b, n_u, n_i, est, p, z, _t)
+
+
+def theta_exactly_equal(a: Column, b: Column) -> Column:
+    """Sketch-state equality (jaccard_similarity.rs exactly_equal): two
+    logically empty sketches are equal; exactly one empty is unequal;
+    otherwise retained hash keys AND theta must match. Compares sketch
+    state, not input populations; summaries never participate, so tuple
+    structs work too."""
+    ea, eb = F.size(a["kmv"]) == 0, F.size(b["kmv"]) == 0
+    return (
+        F.when(ea & eb, F.lit(True))
+        .when(ea | eb, F.lit(False))
+        .otherwise((a["theta"] == b["theta"]) & (a["kmv"] == b["kmv"]))
+    )
+
+
+def _jaccard_cases(a, b, n_u, n_i, est, p, z, _t) -> Column:
+
     both_empty = (F.size(a["kmv"]) == 0) & (F.size(b["kmv"]) == 0)
     return (
         F.when(both_empty, _t(F.lit(1.0), F.lit(1.0), F.lit(1.0)))

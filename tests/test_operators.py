@@ -788,3 +788,32 @@ def test_exact_representatives_duplicate_corpus_rows(spark):
     assert len(shas) == len(set(shas)) == 2  # two distinct contents, one row each
     n_copies = {bytes(r["content_sha"]): r["n_copies"] for r in reps}
     assert sorted(n_copies.values()) == [1, 5]  # 4 dups + b.py share content
+
+
+def test_theta_exactly_equal(spark):
+    """exactly_equal contract (jaccard_similarity.rs): both empty → equal;
+    one empty → unequal; else keys + theta must match (state, not input)."""
+    from datasketches_rust_spark.functions.theta import theta_exactly_equal
+
+    a = spark.range(500).select(F.col("id").alias("v"))
+    sk = theta_sketch_agg(a, [], "v", k=1024).select(F.col("sketch").alias("sa"))
+    sk2 = theta_sketch_agg(a, [], "v", k=1024).select(F.col("sketch").alias("sb"))
+    diff = theta_sketch_agg(
+        spark.range(400).select(F.col("id").alias("v")), [], "v", k=1024
+    ).select(F.col("sketch").alias("sb"))
+    empty = F.struct(
+        F.array().cast("array<bigint>").alias("kmv"),
+        F.lit((1 << 63) - 1).cast("bigint").alias("theta"),
+        F.lit(0).cast("int").alias("retained"),
+    )
+    assert sk.crossJoin(sk2).select(
+        theta_exactly_equal(F.col("sa"), F.col("sb")).alias("e")
+    ).collect()[0]["e"] is True
+    assert sk.crossJoin(diff).select(
+        theta_exactly_equal(F.col("sa"), F.col("sb")).alias("e")
+    ).collect()[0]["e"] is False
+    row = sk.select(
+        theta_exactly_equal(empty, empty).alias("both_empty"),
+        theta_exactly_equal(F.col("sa"), empty).alias("one_empty"),
+    ).collect()[0]
+    assert row["both_empty"] is True and row["one_empty"] is False
