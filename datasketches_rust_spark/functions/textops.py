@@ -50,9 +50,11 @@ def _shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str, width: int
     return docs.select(
         F.col(id_col).alias("__id"),
         F.array_sort(
-            F.transform(
-                F.array_distinct(shingles(tokens(F.col(text_col)), width)),
-                lambda s: F.xxhash64(s),
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(shingles(tokens(F.col(text_col)), width)),
+                    lambda s: F.xxhash64(s),
+                )
             )
         ).alias("__hs"),
     )
@@ -115,18 +117,30 @@ def ngram_jaccard_pairs(
             .select(F.col("a.__id").alias("ia"), F.col("b.__id").alias("ib"))
             .distinct()
         )
-        ex = arr.select("__id", F.explode("__hs").alias("__shh"))
-        ea, eb = ex.alias("ea"), ex.alias("eb")
-        inter = (
-            cand.join(ea, F.col("ia") == F.col("ea.__id"))
-            .join(
-                eb,
-                (F.col("ib") == F.col("eb.__id"))
-                & (F.col("ea.__shh") == F.col("eb.__shh")),
+        # candidates are a tiny fraction of the corpus after prefix+length
+        # filtering, so the full intersection is cheapest as a per-pair JVM
+        # array_intersect over the two sorted hash-set arrays — no explode
+        # of the whole corpus, no count groupBy, no sizes joins
+        ha = arr.select(F.col("__id").alias("ia"), F.col("__hs").alias("__ha"))
+        hb = arr.select(F.col("__id").alias("ib"), F.col("__hs").alias("__hb"))
+        scored = (
+            cand.join(ha, "ia")
+            .join(hb, "ib")
+            .select(
+                "ia",
+                "ib",
+                F.size("__ha").alias("na"),
+                F.size("__hb").alias("nb"),
+                F.size(F.array_intersect("__ha", "__hb")).alias("inter"),
             )
-            .groupBy("ia", "ib")
-            .agg(F.count("*").alias("inter"))
         )
+        return scored.select(
+            F.col("ia").alias(f"{id_col}_a"),
+            F.col("ib").alias(f"{id_col}_b"),
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        ).where(F.col("jaccard") >= threshold)
     else:
         ex = arr.select("__id", F.explode("__hs").alias("__shh"))
         a, b = ex.alias("a"), ex.alias("b")
