@@ -856,3 +856,63 @@ def test_ann_ivf_contracts(spark):
         }
         recalls.append(len(got & {(a, b) for a, b, _ in exact}) / len(exact))
     assert recalls[0] >= 0.8 and recalls == sorted(recalls), recalls
+
+
+def test_theta_set_op_columns_randomized_parity(spark):
+    """theta_union/intersection/a_not_b/jaccard columns == sigkit numpy
+    kernels on 40 random sketch pairs (mixed exact/estimation mode, empty
+    and truncating unions included) — one Spark job, kernel oracle."""
+    from datasketches_rust_spark.functions.theta import (
+        theta_a_not_b,
+        theta_intersection,
+        theta_jaccard,
+        theta_union,
+    )
+    from datasketches_rust_spark.sigkit import kmv
+
+    rng = np.random.default_rng(41)
+    K = 128
+    cases = []
+    for i in range(40):
+        def mk():
+            theta = (
+                kmv.MAX_THETA63
+                if rng.random() < 0.5
+                else int(rng.integers(1 << 40, kmv.MAX_THETA63))
+            )
+            n = int(rng.integers(0, 300))
+            vals = np.unique(rng.integers(0, theta, size=n, dtype=np.int64))
+            return np.sort(vals).astype(np.uint64), theta
+
+        cases.append((mk(), mk()))
+
+    rows = [
+        (i, a.astype(np.int64).tolist(), ta, b.astype(np.int64).tolist(), tb)
+        for i, ((a, ta), (b, tb)) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows, "i int, ka array<bigint>, ta bigint, kb array<bigint>, tb bigint"
+    )
+    sa = F.struct(F.col("ka").alias("kmv"), F.col("ta").alias("theta"))
+    sb = F.struct(F.col("kb").alias("kmv"), F.col("tb").alias("theta"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            theta_union(sa, sb, k=K).alias("u"),
+            theta_intersection(sa, sb).alias("x"),
+            theta_a_not_b(sa, sb).alias("d"),
+            theta_jaccard(sa, sb).alias("j"),
+        ).collect()
+    }
+    for i, ((a, ta), (b, tb)) in enumerate(cases):
+        eu, etu = kmv.union_merge(a, ta, b, tb, K)
+        ex_, etx = kmv.intersect_merge(a, ta, b, tb)
+        ed, etd = kmv.a_not_b(a, ta, b, tb)
+        ej = kmv.jaccard_bounds(a, ta, b, tb)
+        r = got[i]
+        assert list(r["u"]["kmv"]) == eu.astype(np.int64).tolist() and r["u"]["theta"] == etu, i
+        assert list(r["x"]["kmv"]) == ex_.astype(np.int64).tolist() and r["x"]["theta"] == etx, i
+        assert list(r["d"]["kmv"]) == ed.astype(np.int64).tolist() and r["d"]["theta"] == etd, i
+        for g, e in zip((r["j"]["lower"], r["j"]["estimate"], r["j"]["upper"]), ej):
+            assert g == pytest.approx(e, abs=2e-6), (i, r["j"], ej)
