@@ -136,9 +136,14 @@ def xxh64_slices(
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
         return out
-    for length in np.unique(lengths):
-        sel = np.nonzero(lengths == length)[0]
-        length = int(length)
+    # one argsort groups equal lengths contiguously — the per-unique-length
+    # `lengths == L` formulation rescanned the whole array once per
+    # distinct length (~40 full passes on a code-token batch)
+    order = np.argsort(lengths, kind="stable")
+    sorted_lengths = lengths[order]
+    bounds = np.nonzero(np.diff(sorted_lengths))[0] + 1
+    for sel in np.split(order, bounds):
+        length = int(lengths[sel[0]])
         if length == 0:
             out[sel] = _xxh64_fixed(np.empty((len(sel), 0), dtype=np.uint8), seed)
         else:
