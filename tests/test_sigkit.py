@@ -298,3 +298,28 @@ def test_oph_segment_min_matches_minimum_at():
     raw = raw.reshape(len(docs), CFG.num_perm)
     occ = raw != _EMPTY
     assert np.array_equal(m[occ], raw[occ])
+
+
+def test_token_spans_multiple_cuts_in_one_run():
+    """Adjacent all-token docs form ONE byte run with several boundary
+    cuts — the vectorized split must produce one token per doc, in order
+    (regression guard for the np.insert rewrite of token_spans)."""
+    import numpy as np
+
+    from datasketches_rust_spark.sigkit.tokenize import concat_docs, token_spans
+    from datasketches_rust_spark.sigkit.xxhash import xxh64_str_list
+
+    for docs in (["abc", "defg", "hi"], ["a", "b", "c", "d"], ["ab", "", "cd"], ["x y", "z", "w v"]):
+        buf, offs = concat_docs(docs)
+        starts, lengths = token_spans(buf, offs)
+        toks = ["".join(chr(b) for b in buf[s : s + l]) for s, l in zip(starts, lengths)]
+        expect = [t for d in docs for t in d.split()]
+        assert toks == expect, (docs, toks)
+        # spans must be sorted and non-overlapping
+        assert all(starts[i] + lengths[i] <= starts[i + 1] for i in range(len(starts) - 1))
+        # and hash identically to the per-string reference path
+        from datasketches_rust_spark.sigkit.xxhash import xxh64_slices
+
+        assert np.array_equal(
+            xxh64_slices(buf, starts, lengths, 9001), xxh64_str_list(expect, 9001)
+        )
