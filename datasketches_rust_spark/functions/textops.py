@@ -78,7 +78,8 @@ def ngram_jaccard_pairs(
     smallest common element x of A∩B has rank <= |A\\B|+1 <= (1-t)|A|+1 in
     A, likewise in B. So the self-join runs on ~(1-t) of the shingles, a
     length filter (t*na <= nb <= na/t) prunes further, and the full
-    intersection is counted only for surviving candidate pairs.
+    intersection is computed only for surviving candidate pairs — as a
+    per-pair JVM ``array_intersect`` over the two sorted hash-set arrays.
     ``prefix_filter=False`` keeps the exhaustive self-join (the small-scale
     cross-check path).
 
