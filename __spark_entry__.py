@@ -24,6 +24,8 @@ from datasketches_rust_spark.functions.sketches import (
     bloom_might_contain,
     countmin_build,
     countmin_estimate,
+    countmin_relative_error,
+    countmin_with_accuracy,
     frequent_items,
     hll_distinct,
 )
@@ -239,9 +241,14 @@ def _q_frequent_events(spark, sf):
 
 def _q_countmin(spark, sf):
     ev = _t(spark, sf, "events")
-    sketch = countmin_build(ev, "event_type", num_hashes=3, width=2048)
+    # accuracy-first config (countmin/sketch.rs:135-155): 95% confidence →
+    # ceil(ln 20) = 3 rows; width from the error 2048 buckets imply
+    # (e/2048) — the roundtrip keeps the sketch identical to the previous
+    # hand-picked (3, 2048) while deriving it from target bounds.
+    num_hashes, width = countmin_with_accuracy(countmin_relative_error(2048), 0.95)
+    sketch = countmin_build(ev, "event_type", num_hashes=num_hashes, width=width)
     items = ev.select("event_type").distinct()
-    return countmin_estimate(sketch, items, "event_type", num_hashes=3, width=2048)
+    return countmin_estimate(sketch, items, "event_type", num_hashes=num_hashes, width=width)
 
 
 def _q_tdigest_quantiles(spark, sf):

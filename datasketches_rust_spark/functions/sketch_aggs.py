@@ -109,12 +109,18 @@ def frequent_items_agg(
     max_map_size: int = 256,
     threshold_weight: int | None = None,
     weight_col: str | None = None,
+    no_false_negatives: bool = True,
 ) -> DataFrame:
     """Heavy hitters per group via distributed Misra-Gries.
 
-    Output rows: (group..., item, count_lb, count_ub) for items whose
-    upper bound >= threshold (NoFalseNegatives, frequencies/sketch.rs:394-430);
-    threshold defaults to the sketch's maximum_error (= offset).
+    Output rows: (group..., item, count_lb, count_ub) for items passing the
+    threshold under the chosen error type (frequencies/sketch.rs:394-430):
+    ``no_false_negatives=True`` keeps items whose UPPER bound >= threshold
+    (every true heavy hitter reported, some light items may slip in);
+    ``False`` is ErrorType::NoFalsePositives — LOWER bound >= threshold, so
+    every reported item is guaranteed heavy, some true hitters may be
+    missed. In exact mode (no purges, offset 0) the two coincide.
+    Threshold defaults to the sketch's maximum_error (= offset).
     """
     df, gcols = _with_group(df, group_cols)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
@@ -148,7 +154,7 @@ def frequent_items_agg(
             s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
         thr = threshold_weight if threshold_weight is not None else s.maximum_error()
         ub = s.counts + s.offset
-        keep = ub >= thr
+        keep = (ub >= thr) if no_false_negatives else (s.counts >= thr)
         return pd.DataFrame(
             {
                 **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},

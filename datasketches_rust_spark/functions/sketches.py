@@ -28,6 +28,44 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # ----------------------------------------------------------------- count-min
 
+_CM_MAX_HASHES = 127
+
+
+def countmin_suggest_num_buckets(relative_error: float) -> int:
+    """Buckets needed for a target relative error: ceil(e / epsilon)
+    (countmin/sketch.rs:135-139; epsilon = e/num_buckets per :121-123)."""
+    import math
+
+    if relative_error < 0.0:
+        raise ValueError("relative_error must be at least 0")
+    return int(math.ceil(math.e / relative_error))
+
+
+def countmin_suggest_num_hashes(confidence: float) -> int:
+    """Hash rows needed for a target confidence 1-delta:
+    ceil(ln(1/(1-confidence))), capped at 127 (countmin/sketch.rs:145-155)."""
+    import math
+
+    if not 0.0 <= confidence <= 1.0:
+        raise ValueError("confidence must be between 0 and 1.0 (inclusive)")
+    if confidence == 1.0:
+        return _CM_MAX_HASHES
+    return int(min(math.ceil(math.log(1.0 / (1.0 - confidence))), _CM_MAX_HASHES))
+
+
+def countmin_relative_error(width: int) -> float:
+    """epsilon implied by a bucket count (countmin/sketch.rs:121-123)."""
+    import math
+
+    return math.e / width
+
+
+def countmin_with_accuracy(relative_error: float, confidence: float) -> tuple[int, int]:
+    """(num_hashes, width) for target error bounds — the accuracy-first
+    builder pairing ``bloom_with_accuracy``, so callers stop hand-picking
+    ``num_hashes=3, width=2048`` and hoping."""
+    return countmin_suggest_num_hashes(confidence), countmin_suggest_num_buckets(relative_error)
+
 
 def _cm_bucket(item: Column, row: int, width: int) -> Column:
     return F.pmod(F.xxhash64(item, F.lit(row)), F.lit(width)).cast("int")

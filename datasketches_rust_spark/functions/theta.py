@@ -374,8 +374,15 @@ def theta_jaccard(a: Column, b: Column, num_std_devs: float = 2.0) -> Column:
     The reference sizes the union to ceil_pow2(|a|+|b|), which always
     exceeds the merged entry count, so the union NEVER truncates and
     theta_union == min(theta_a, theta_b) — the identity these expressions
-    rely on. Exact mode (p >= 1) collapses the triple; two empty sketches
-    are "identical" → (1,1,1); an empty screened union → (0, 0.5, 1).
+    rely on. Edge cases mirror jaccard_similarity.rs:240-258: two
+    never-updated sketches → exact (1,1,1); exactly one never-updated →
+    exact (0,0,0); identical retained sets AND thetas → exact (1,1,1)
+    even in estimation mode (the identical_sets shortcut); an empty
+    screened union between updated sketches → (0, 0.5, 1); exact mode
+    (p >= 1) collapses the triple to the ratio. "Never-updated" is
+    proxied as retained == 0 AND theta == MAX (the struct carries no
+    empty flag; an estimation-mode sketch that retained 0 entries has
+    theta < MAX and correctly falls through to the ratio branches).
     Summaries never participate (tuple/jaccard_similarity.rs:75-101
     delegates to the same key-only operator), so this accepts theta AND
     tuple sketch structs alike.
@@ -394,13 +401,21 @@ def theta_jaccard(a: Column, b: Column, num_std_devs: float = 2.0) -> Column:
     return _jaccard_cases(a, b, n_u, n_i, est, p, z, _t)
 
 
+def _never_updated(s: Column) -> Column:
+    """Proxy for the reference's is_empty flag (which the struct does not
+    carry): never-updated sketches in this engine always have retained == 0
+    AND theta == MAX. An estimation-mode sketch that was updated but
+    retained 0 entries has theta < MAX and is correctly NOT empty here."""
+    return (F.size(s["kmv"]) == 0) & (s["theta"] == F.lit(MAX_THETA63))
+
+
 def theta_exactly_equal(a: Column, b: Column) -> Column:
-    """Sketch-state equality (jaccard_similarity.rs exactly_equal): two
-    logically empty sketches are equal; exactly one empty is unequal;
-    otherwise retained hash keys AND theta must match. Compares sketch
-    state, not input populations; summaries never participate, so tuple
-    structs work too."""
-    ea, eb = F.size(a["kmv"]) == 0, F.size(b["kmv"]) == 0
+    """Sketch-state equality (jaccard_similarity.rs exactly_equal,
+    :276-290): two never-updated sketches are equal; exactly one is
+    unequal; otherwise retained hash keys AND theta must match (the
+    identical_sets predicate, :322-334). Compares sketch state, not input
+    populations; summaries never participate, so tuple structs work too."""
+    ea, eb = _never_updated(a), _never_updated(b)
     return (
         F.when(ea & eb, F.lit(True))
         .when(ea | eb, F.lit(False))
@@ -409,11 +424,19 @@ def theta_exactly_equal(a: Column, b: Column) -> Column:
 
 
 def _jaccard_cases(a, b, n_u, n_i, est, p, z, _t) -> Column:
-
-    both_empty = (F.size(a["kmv"]) == 0) & (F.size(b["kmv"]) == 0)
+    """Branch order mirrors JaccardSimilarityOperator::compute
+    (jaccard_similarity.rs:240-258): empties first, then the non-empty-
+    union identical_sets shortcut, then ratio_bounds. identical_sets sits
+    AFTER the n_u == 0 branch so two updated zero-retained sketches get
+    (0, 0.5, 1), not the shortcut (the reference guards the shortcut with
+    !union.entries.is_empty())."""
+    na, nb = _never_updated(a), _never_updated(b)
+    identical = (a["theta"] == b["theta"]) & (a["kmv"] == b["kmv"])
     return (
-        F.when(both_empty, _t(F.lit(1.0), F.lit(1.0), F.lit(1.0)))
+        F.when(na & nb, _t(F.lit(1.0), F.lit(1.0), F.lit(1.0)))
+        .when(na | nb, _t(F.lit(0.0), F.lit(0.0), F.lit(0.0)))
         .when(n_u == 0, _t(F.lit(0.0), F.lit(0.5), F.lit(1.0)))
+        .when(identical, _t(F.lit(1.0), F.lit(1.0), F.lit(1.0)))
         .when(p >= 1.0, _t(est, est, est))
         .otherwise(
             _t(_lower_bound_on_p(n_u, n_i, z), est, _upper_bound_on_p(n_u, n_i, z))

@@ -227,8 +227,15 @@ def ann_topk_ivf(
     there is no banding blow-up: corpus-side storage is one row per
     vector.
     """
+    # seeded, order-independent sample: take the sample_size smallest rows
+    # by a salted hash of the id (TakeOrdered — per-partition top-N + merge,
+    # no full sort). Unlike limit(), which returns whichever rows arrive
+    # first (biased on corpora ordered/clustered by content, and unstable
+    # across partition layouts), this is uniform over ids and reproducible
+    # for a given (corpus, seed); the id tie-break pins duplicate hashes.
     norm_sample = (
-        vectors.select(_as_double(F.col(vec_col)).alias("v"))
+        vectors.select(F.col(id_col).alias("__sid"), _as_double(F.col(vec_col)).alias("v"))
+        .orderBy(F.xxhash64("__sid", F.lit(seed)), F.col("__sid"))
         .limit(sample_size)
         .toPandas()["v"]
     )

@@ -151,9 +151,15 @@ def containment_pairs(
     text_col: str = "text",
     window: int = 32,
     prefilter: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id_a contained-in id_b) pairs, exact-verified. Requires every doc
     length >= window (true for all engine inputs; see module doc).
+
+    ``n_docs`` sizes the prefilter bloom without the sizing ``count()``
+    scan — pass it when the cardinality is already known (e.g. from an
+    upstream stage's ``_metrics``); an approximate value is fine, the
+    bitmap size only tunes the false-positive rate.
 
     ``prefilter`` (default) broadcasts a bloom bitmap of the n_docs prefix
     hashes into the window-hash kernel, so the container side emits only
@@ -170,7 +176,8 @@ def containment_pairs(
 
     bloom, m = None, 0
     if prefilter:
-        n_docs = base.count()
+        if n_docs is None:
+            n_docs = base.count()
         m = max(64, min(1 << 26, 1 << int(16 * max(n_docs, 1)).bit_length()))
         bitmap = _prefix_bloom_bitmap(base, id_col, text_col, window, m)
         bloom = base.sparkSession.sparkContext.broadcast(bitmap)

@@ -127,20 +127,34 @@ def jaccard_bounds(
     """(lower, estimate, upper) for J(A,B) — the reference's
     JaccardSimilarity struct (jaccard_similarity.rs:46-111, NUM_STD_DEVS=2):
     proportion bounds on |A∩B| successes in |U| trials with the
-    sampling-probability z adjustment; exact mode collapses the triple."""
+    sampling-probability z adjustment; exact mode collapses the triple.
+
+    Edge branches mirror JaccardSimilarityOperator::compute
+    (jaccard_similarity.rs:240-258): never-updated pairs collapse exactly,
+    and identical retained sets + thetas short-circuit to exact (1,1,1)
+    even in estimation mode (identical_sets, :322-334). "Never-updated" is
+    proxied as retained == 0 and theta == MAX (no empty flag is carried);
+    an updated estimation-mode sketch retaining 0 entries falls through to
+    the (0, 0.5, 1) empty-union branch, as in the reference."""
     from .binomial_bounds import (
         _sampling_adjuster,
         approximate_lower_bound_on_p,
         approximate_upper_bound_on_p,
     )
 
-    if len(a) == 0 and len(b) == 0:
-        return (1.0, 1.0, 1.0)  # identical (empty) sets shortcut
+    never_a = len(a) == 0 and theta_a == MAX_THETA63
+    never_b = len(b) == 0 and theta_b == MAX_THETA63
+    if never_a and never_b:
+        return (1.0, 1.0, 1.0)
+    if never_a or never_b:
+        return (0.0, 0.0, 0.0)
     k_union = _ceil_pow2(len(a) + len(b))
     u, theta_u = union_merge(a, theta_a, b, theta_b, k_union)
     n_u = len(u)
     if n_u == 0:
         return (0.0, 0.5, 1.0)
+    if theta_a == theta_b and len(a) == len(b) and np.array_equal(a, b):
+        return (1.0, 1.0, 1.0)  # identical_sets shortcut
     i = np.intersect1d(a, b, assume_unique=True)
     n_i = int(len(i[i < np.uint64(theta_u)]))
     # sampling probability divides by MAX_THETA (jaccard_similarity.rs:85)

@@ -916,3 +916,113 @@ def test_theta_set_op_columns_randomized_parity(spark):
         assert list(r["d"]["kmv"]) == ed.astype(np.int64).tolist() and r["d"]["theta"] == etd, i
         for g, e in zip((r["j"]["lower"], r["j"]["estimate"], r["j"]["upper"]), ej):
             assert g == pytest.approx(e, abs=2e-6), (i, r["j"], ej)
+
+
+def test_frequent_items_agg_error_types(spark):
+    """Estimation mode (purging active): NoFalsePositives reports only
+    guaranteed-heavy items, NoFalseNegatives reports every true heavy
+    hitter — NoFP ⊆ truth ⊆ NoFN (frequencies/sketch.rs:394-430)."""
+    items = ["hot"] * 5000 + ["warm"] * 1200 + [f"cold{i}" for i in range(3000)]
+    df = spark.createDataFrame([(x,) for x in items], "item string").repartition(8)
+    truth = {"hot", "warm"}  # counts 5000 / 1200 vs threshold 800
+    kw = dict(max_map_size=64, threshold_weight=800)
+    nofn = {
+        r["item"] for r in frequent_items_agg(df, [], "item", **kw).collect()
+    }
+    nofp = {
+        r["item"]
+        for r in frequent_items_agg(
+            df, [], "item", no_false_negatives=False, **kw
+        ).collect()
+    }
+    assert nofp <= truth <= nofn, (nofp, truth, nofn)
+    # exact mode (no purge, offset 0): both error types coincide with truth
+    kw_exact = dict(max_map_size=8192, threshold_weight=800)
+    exact_nofn = {
+        r["item"] for r in frequent_items_agg(df, [], "item", **kw_exact).collect()
+    }
+    exact_nofp = {
+        r["item"]
+        for r in frequent_items_agg(
+            df, [], "item", no_false_negatives=False, **kw_exact
+        ).collect()
+    }
+    assert exact_nofn == exact_nofp == truth
+
+
+def test_containment_pairs_ndocs_hint(spark):
+    """A caller-supplied n_docs skips the sizing count() at identical
+    output (an approximate hint only tunes the bloom fp rate)."""
+    docs = [
+        (1, "A" * 40 + "needle body text that is long enough"),
+        (2, "prefix " + "A" * 40 + "needle body text that is long enough" + " suffix"),
+        (3, "completely unrelated document content here with enough length"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    base = {
+        (r["doc_id_contained"], r["doc_id_container"])
+        for r in containment_pairs(df, window=32).collect()
+    }
+    hinted = {
+        (r["doc_id_contained"], r["doc_id_container"])
+        for r in containment_pairs(df, window=32, n_docs=3).collect()
+    }
+    rough_hint = {
+        (r["doc_id_contained"], r["doc_id_container"])
+        for r in containment_pairs(df, window=32, n_docs=1000).collect()
+    }
+    assert base == hinted == rough_hint == {(1, 2)}
+
+
+def test_ann_ivf_sample_is_order_independent(spark):
+    """Centroid fit uses a seeded hash-ordered sample, not limit(): the
+    same corpus under a different row order / partition layout yields
+    identical results (ADVICE r3: limit() was first-N and layout-unstable)."""
+    from datasketches_rust_spark.operators.ann import ann_topk_ivf
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    rows = [(i, v.tolist()) for i, v in enumerate(vecs)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df2 = spark.createDataFrame(rows[::-1], "vec_id long, embedding array<float>").repartition(7)
+    q1, q2 = df1.where("vec_id < 5"), df2.where("vec_id < 5")
+    out1 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_topk_ivf(df1, q1, k=3, n_lists=4, nprobe=2, sample_size=64).collect()
+    }
+    out2 = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ann_topk_ivf(df2, q2, k=3, n_lists=4, nprobe=2, sample_size=64).collect()
+    }
+    assert out1 == out2 and len(out1) == 15
+
+
+def test_theta_jaccard_column_edge_cases(spark):
+    """Column-side edge branches match the kernel's reference semantics:
+    never-updated pairs, estimation-mode identical sets, zero-retained
+    estimation pairs (jaccard_similarity.rs:240-258)."""
+    from datasketches_rust_spark.functions.theta import theta_jaccard
+
+    MAX = (1 << 63) - 1
+    t = 1 << 50
+    a = [100, 200, 300]
+    cases = [
+        # (kmv_a, theta_a, kmv_b, theta_b, expected triple)
+        ([], MAX, [], MAX, (1.0, 1.0, 1.0)),
+        ([], MAX, a, MAX, (0.0, 0.0, 0.0)),
+        (a, t, [], MAX, (0.0, 0.0, 0.0)),
+        (a, t, a, t, (1.0, 1.0, 1.0)),  # identical estimation-mode sets
+        ([], t, [], t, (0.0, 0.5, 1.0)),  # updated, zero retained
+    ]
+    df = spark.createDataFrame(
+        [(i, ka, ta, kb, tb) for i, (ka, ta, kb, tb, _) in enumerate(cases)],
+        "i int, ka array<bigint>, ta bigint, kb array<bigint>, tb bigint",
+    )
+    sa = F.struct(F.col("ka").alias("kmv"), F.col("ta").alias("theta"))
+    sb = F.struct(F.col("kb").alias("kmv"), F.col("tb").alias("theta"))
+    got = {
+        r["i"]: (r["j"]["lower"], r["j"]["estimate"], r["j"]["upper"])
+        for r in df.select("i", theta_jaccard(sa, sb).alias("j")).collect()
+    }
+    for i, (_, _, _, _, exp) in enumerate(cases):
+        assert got[i] == exp, (i, got[i], exp)

@@ -247,3 +247,56 @@ def test_jaccard_bounds_triple():
     # exact mode collapses the triple
     lb2, est2, ub2 = jaccard_bounds(a_full[:100], (1 << 63) - 1, a_full[:100], (1 << 63) - 1)
     assert lb2 == est2 == ub2 == 1.0
+
+
+def test_jaccard_reference_edge_cases():
+    """JaccardSimilarityOperator::compute edge branches
+    (jaccard_similarity.rs:240-258 + identical_sets :322-334): never-updated
+    pairs and identical estimation-mode sets collapse exactly; updated
+    zero-retained pairs do NOT take the identical shortcut."""
+    from datasketches_rust_spark.sigkit.kmv import MAX_THETA63, jaccard_bounds
+
+    e = np.empty(0, np.uint64)
+    a = np.array([100, 200, 300], np.uint64)
+    t = 1 << 50  # estimation-mode theta (entries of `a` are all below it)
+
+    assert jaccard_bounds(e, MAX_THETA63, e, MAX_THETA63) == (1.0, 1.0, 1.0)
+    # exactly one never-updated -> exact 0 (reference returns exact(0.0))
+    assert jaccard_bounds(e, MAX_THETA63, a, MAX_THETA63) == (0.0, 0.0, 0.0)
+    assert jaccard_bounds(a, t, e, MAX_THETA63) == (0.0, 0.0, 0.0)
+    # identical sets + identical theta in ESTIMATION mode -> exact (1,1,1)
+    assert jaccard_bounds(a, t, a, t) == (1.0, 1.0, 1.0)
+    # updated-but-zero-retained pair: falls to the empty-union ratio_bounds
+    # branch, never the identical shortcut (the reference guards it with
+    # !union.entries.is_empty())
+    assert jaccard_bounds(e, t, e, t) == (0.0, 0.5, 1.0)
+    # estimation-empty vs non-empty: plain ratio bounds (est 0, ub < 1)
+    lb, est, ub = jaccard_bounds(e, t, a, t)
+    assert lb == 0.0 and est == 0.0 and 0.0 < ub < 1.0
+
+
+def test_countmin_accuracy_builders():
+    """countmin/sketch.rs:121-155: epsilon = e/num_buckets, buckets =
+    ceil(e/epsilon), hashes = ceil(ln 1/(1-confidence)) capped at 127."""
+    import math
+
+    from datasketches_rust_spark.functions.sketches import (
+        countmin_relative_error,
+        countmin_suggest_num_buckets,
+        countmin_suggest_num_hashes,
+        countmin_with_accuracy,
+    )
+
+    assert countmin_suggest_num_buckets(0.2) == 14  # ceil(e / 0.2)
+    assert countmin_suggest_num_hashes(0.95) == 3  # ceil(ln 20)
+    assert countmin_suggest_num_hashes(1.0) == 127  # exact-confidence cap
+    assert countmin_suggest_num_hashes(0.0) == 0
+    assert countmin_with_accuracy(0.01, 0.99) == (5, 272)
+    # relative_error() and suggest_num_buckets() are inverse maps
+    for w in (64, 128, 1024, 2048, 65536):
+        assert countmin_suggest_num_buckets(countmin_relative_error(w)) == w
+    assert countmin_relative_error(2048) == pytest.approx(math.e / 2048)
+    with pytest.raises(ValueError):
+        countmin_suggest_num_buckets(-0.1)
+    with pytest.raises(ValueError):
+        countmin_suggest_num_hashes(1.5)
