@@ -214,6 +214,49 @@ def _q_tuple_anotb_qty(spark, sf):
     )
 
 
+def _q_theta_merge_orders(spark, sf):
+    """Sketch-warehouse re-aggregation (the reference's union accumulator,
+    common/union.rs:64-100, as a grouped aggregate): store one theta sketch
+    per (returnflag, linestatus) cell, then merge the stored sketches per
+    returnflag — no crossJoin fold. Exact mode at driver sf (k = 32768 >=
+    distinct orders per flag), so the merged estimate equals
+    COUNT(DISTINCT)."""
+    from datasketches_rust_spark.functions.theta import theta_merge_agg
+
+    li = _t(spark, sf, "lineitem")
+    cells = theta_sketch_agg(li, ["l_returnflag", "l_linestatus"], "l_orderkey", k=32768)
+    merged = theta_merge_agg(cells, ["l_returnflag"], "sketch", k=32768)
+    return merged.select(
+        "l_returnflag",
+        F.round(theta_estimate(F.col("sketch"))).cast("long").alias("n_distinct"),
+    )
+
+
+def _q_tuple_merge_qty(spark, sf):
+    """Grouped tuple-sketch merge (tuple/union.rs:68-128 as an aggregate):
+    per-(returnflag, linestatus) tuple sketches of (orderkey, quantity)
+    re-aggregated per returnflag with AddAssign summaries — orders split
+    across linestatus cells sum their quantities back together. Exact mode
+    at driver sf."""
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_estimate,
+        tuple_merge_agg,
+        tuple_sketch_agg,
+        tuple_summary_sum,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    cells = tuple_sketch_agg(
+        li, ["l_returnflag", "l_linestatus"], "l_orderkey", "l_quantity", k=32768
+    )
+    merged = tuple_merge_agg(cells, ["l_returnflag"], "sketch", k=32768)
+    return merged.select(
+        "l_returnflag",
+        F.round(tuple_estimate(F.col("sketch"))).cast("long").alias("n_distinct_orders"),
+        F.round(tuple_summary_sum(F.col("sketch")), 2).alias("sum_qty"),
+    )
+
+
 def _q_theta_jaccard_users(spark, sf):
     """Jaccard triple of click-vs-view user sets (jaccard_similarity.rs:
     46-111). Exact mode (k=1024 >= distinct users per type at driver sf):
@@ -405,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_distinct_sum": _q_tuple_distinct_sum,
         "tuple_union_segments": _q_tuple_union_segments,
         "tuple_anotb_qty": _q_tuple_anotb_qty,
+        "theta_merge_orders": _q_theta_merge_orders,
+        "tuple_merge_qty": _q_tuple_merge_qty,
         "theta_jaccard_users": _q_theta_jaccard_users,
         "frequent_events": _q_frequent_events,
         "countmin_event_counts": _q_countmin,
@@ -562,6 +607,16 @@ SELECT CAST(count(*) AS BIGINT) AS n_distinct_orders,
        round(coalesce(sum(qty), 0), 2) AS sum_qty
 FROM a WHERE l_orderkey NOT IN
   (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+""",
+        "theta_merge_orders": """
+SELECT l_returnflag, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+FROM lineitem GROUP BY 1
+""",
+        "tuple_merge_qty": """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_orders,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY 1
 """,
         "theta_jaccard_users": """
 WITH i AS (SELECT count(*) AS c FROM (

@@ -184,6 +184,70 @@ def theta_sketch_agg(
     )
 
 
+def theta_merge_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+    k: int = 4096,
+) -> DataFrame:
+    """groupBy(group_cols) → union of the N pre-built sketch structs in
+    each group — the reference's union *accumulator* over many input
+    sketches (common/union.rs:64-135, ``UnionState::update`` called once
+    per sketch) in Spark's partial→final shape. This is the
+    sketch-warehouse re-aggregation workflow: store per-day/per-partition
+    sketches, ``groupBy(month)`` and merge, without the crossJoin fold a
+    pairwise ``theta_union`` column would need.
+
+    One logical shuffle on (group, salt): ``explode_outer`` flattens kmv
+    entries (empty sketches still contribute their theta through the null
+    row); each salt shard keeps its min-theta and the k+1 smallest
+    distinct hashes; the final merge re-sorts, re-truncates, and screens
+    under the group-wide min theta. Screening AFTER shard truncation is
+    exact: an entry a shard dropped exceeds all k+1 entries it kept, so
+    if any kept entry fails the final screen the dropped one fails it
+    too, and if all kept entries pass, the shard already contributes its
+    full k+1 — either way the k smallest surviving hashes are identical
+    to screen-then-truncate (the ThetaUnion order, common/union.rs:130-135).
+    """
+    s = F.col(sketch_col)
+    ex = df.select(
+        *group_cols,
+        s["theta"].alias("__t"),
+        F.explode_outer(s["kmv"]).alias("__h"),
+    )
+    partial = (
+        ex.withColumn(
+            "__salt", F.pmod(F.coalesce(F.col("__h"), F.lit(0)), F.lit(_SALT_SHARDS))
+        )
+        .groupBy(*group_cols, "__salt")
+        .agg(
+            F.min("__t").alias("__tp"),
+            # collect_set skips the explode_outer null of empty sketches
+            F.slice(F.array_sort(F.collect_set("__h")), 1, k + 1).alias("__part"),
+        )
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.min("__tp").alias("__theta"),
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("__part")))),
+            1,
+            k + 1,
+        ).alias("__m0"),
+    )
+    scr = F.filter(F.col("__m0"), lambda x: x < F.col("__theta"))
+    over = F.size(scr) > k
+    theta = F.when(over, F.element_at(scr, k + 1)).otherwise(F.col("__theta"))
+    kmv = F.when(over, F.slice(scr, 1, k)).otherwise(scr)
+    return merged.select(
+        *group_cols,
+        F.struct(
+            kmv.alias("kmv"),
+            theta.cast("long").alias("theta"),
+            F.size(kmv).cast("int").alias("retained"),
+        ).alias("sketch"),
+    )
+
+
 def _pack_sketch(m: Column, k: int, init_theta: int = MAX_THETA63) -> Column:
     """(k+1)-truncated sorted hash array → sketch struct."""
     over = F.size(m) > k

@@ -112,6 +112,91 @@ def tuple_sketch_agg(
     )
 
 
+def tuple_merge_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    sketch_col: str = "sketch",
+    k: int = 4096,
+) -> DataFrame:
+    """groupBy(group_cols) → union of the N pre-built tuple-sketch structs
+    in each group with the AddAssign combine policy — the reference's
+    union accumulator (tuple/union.rs:68-128, one ``update`` per input
+    sketch) as a grouped aggregate, for re-aggregating stored sketches
+    without a crossJoin fold of pairwise ``tuple_union`` columns.
+
+    Plan: a tiny per-group min-theta aggregate (broadcast — same
+    group-cardinality bound as ``theta_prescreen``'s theta-hat table),
+    then one shuffle summing summaries per (group, hash) — the AddAssign
+    of keys shared across sketches — with the min-theta screen applied
+    before the salted two-level k-truncation, exactly the
+    screen-then-combine-then-truncate order of the reference union.
+    ``explode_outer`` keeps empty sketches contributing their theta.
+    """
+    grp = "__mg_grp"
+    if not group_cols:
+        df = df.withColumn(grp, F.lit(0))
+        gcols = [grp]
+    else:
+        gcols = list(group_cols)
+    s = F.col(sketch_col)
+    ex = df.select(
+        *gcols,
+        s["theta"].alias("__t"),
+        F.explode_outer(
+            F.zip_with(
+                s["kmv"], s["summaries"], lambda h, v: F.struct(h.alias("h"), v.alias("s"))
+            )
+        ).alias("__e"),
+    )
+    thetas = ex.groupBy(*gcols).agg(F.min("__t").alias("__theta"))
+    entries = ex.where(F.col("__e").isNotNull()).select(
+        *gcols, F.col("__e")["h"].alias("__h"), F.col("__e")["s"].alias("__s")
+    )
+    keyed = (
+        entries.join(F.broadcast(thetas), gcols)
+        .where(F.col("__h") < F.col("__theta"))
+        .groupBy(*gcols, "__h")
+        .agg(F.sum("__s").alias("__s"))
+    )
+    partial = (
+        keyed.withColumn("__salt", F.pmod(F.col("__h"), F.lit(_SALT_SHARDS)))
+        .groupBy(*gcols, "__salt")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct(F.col("__h"), F.col("__s")))),
+                1,
+                k + 1,
+            ).alias("__part")
+        )
+    )
+    merged = partial.groupBy(*gcols).agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("__part"))), 1, k + 1
+        ).alias("__m")
+    )
+    # left join from the (tiny) thetas table so groups whose every input
+    # sketch was empty survive as empty sketches with the group theta
+    joined = thetas.join(merged, gcols, "left").withColumn(
+        "__m",
+        F.coalesce(
+            F.col("__m"), F.array().cast("array<struct<__h:bigint,__s:double>>")
+        ),
+    )
+    over = F.size("__m") > k
+    theta = F.when(over, F.element_at("__m", k + 1)["__h"]).otherwise(F.col("__theta"))
+    ent = F.when(over, F.slice("__m", 1, k)).otherwise(F.col("__m"))
+    out = joined.select(
+        *gcols,
+        F.struct(
+            F.transform(ent, lambda e: e["__h"]).alias("kmv"),
+            F.transform(ent, lambda e: e["__s"]).alias("summaries"),
+            theta.cast("long").alias("theta"),
+            F.size(ent).cast("int").alias("retained"),
+        ).alias("sketch"),
+    )
+    return out.drop(grp) if not group_cols else out
+
+
 def _entries_map(sk: Column, theta: Column) -> Column:
     """(hash -> summary) map of entries surviving the given theta."""
     pairs = F.filter(

@@ -1026,3 +1026,134 @@ def test_theta_jaccard_column_edge_cases(spark):
     }
     for i, (_, _, _, _, exp) in enumerate(cases):
         assert got[i] == exp, (i, got[i], exp)
+
+
+def test_theta_merge_agg_matches_direct_and_fold(spark):
+    """Grouped sketch-merge re-aggregation (common/union.rs:64-135):
+    exact mode == direct build bit-for-bit; estimation mode == the
+    pairwise theta_union fold it replaces; estimates stay accurate."""
+    from datasketches_rust_spark.functions.theta import theta_merge_agg
+
+    df = spark.range(60_000).select(
+        (F.col("id") % 3).alias("g"),
+        (F.col("id") % 3).cast("int").alias("gday"),
+        (F.col("id") % 7).alias("day"),
+        (F.col("id") % 9000).alias("v"),  # per g: 3000 distinct v
+    )
+    # exact mode: merging per-(g,day) sketches == building per-g directly
+    per_day = theta_sketch_agg(df, ["g", "day"], "v", k=16384)
+    merged = theta_merge_agg(per_day, ["g"], "sketch", k=16384)
+    direct = theta_sketch_agg(df, ["g"], "v", k=16384)
+    m = {r["g"]: r["sketch"] for r in merged.collect()}
+    d = {r["g"]: r["sketch"] for r in direct.collect()}
+    assert set(m) == set(d) == {0, 1, 2}
+    for g in m:
+        assert m[g]["theta"] == d[g]["theta"] == (1 << 63) - 1
+        assert list(m[g]["kmv"]) == list(d[g]["kmv"])
+        assert m[g]["retained"] == d[g]["retained"] == 3000
+
+    # estimation mode: merge_agg == explicit pairwise-union fold over the
+    # same three input sketches (the crossJoin workflow it replaces)
+    per3 = theta_sketch_agg(df, ["gday"], "v", k=1024)
+    est_merged = theta_merge_agg(
+        per3.drop("gday").withColumn("all", F.lit(1)), ["all"], "sketch", k=1024
+    ).collect()[0]["sketch"]
+    a, b, c = [
+        r["sketch"] for r in per3.orderBy("gday").collect()
+    ]
+    one = spark.createDataFrame(
+        [(list(a["kmv"]), a["theta"], list(b["kmv"]), b["theta"],
+          list(c["kmv"]), c["theta"])],
+        "ka array<bigint>, ta bigint, kb array<bigint>, tb bigint, "
+        "kc array<bigint>, tc bigint",
+    )
+    def sk(kc, tc):
+        return F.struct(F.col(kc).alias("kmv"), F.col(tc).alias("theta"))
+    fold = one.select(
+        theta_union(theta_union(sk("ka", "ta"), sk("kb", "tb"), k=1024),
+                    sk("kc", "tc"), k=1024).alias("u")
+    ).collect()[0]["u"]
+    assert est_merged["theta"] == fold["theta"]
+    assert list(est_merged["kmv"]) == list(fold["kmv"])
+    # estimate accuracy on the merged estimation-mode sketch (truth 9000)
+    est = est_merged["retained"] / (est_merged["theta"] / float(1 << 63))
+    assert est == pytest.approx(9000, rel=4 / np.sqrt(1024))
+
+
+def test_theta_merge_agg_empty_and_theta_propagation(spark):
+    """Empty sketches still contribute their theta to the group min (the
+    union contract: theta only decreases); all-empty groups survive."""
+    from datasketches_rust_spark.functions.theta import theta_merge_agg
+
+    MAX = (1 << 63) - 1
+    t = 1 << 50
+    rows = [
+        ("a", [], t),          # empty estimation-mode sketch drags theta down
+        ("a", [100, 200, int(t) + 5], MAX),  # one entry above the merged theta
+        ("b", [], MAX),        # all-empty group
+    ]
+    df = spark.createDataFrame(rows, "g string, kmv array<bigint>, theta bigint")
+    sk = df.select(
+        "g",
+        F.struct(
+            F.col("kmv"), F.col("theta"), F.size("kmv").cast("int").alias("retained")
+        ).alias("sketch"),
+    )
+    from datasketches_rust_spark.functions.theta import theta_merge_agg
+
+    out = {r["g"]: r["sketch"] for r in theta_merge_agg(sk, ["g"], "sketch", k=64).collect()}
+    assert out["a"]["theta"] == t and list(out["a"]["kmv"]) == [100, 200]
+    assert out["b"]["theta"] == MAX and list(out["b"]["kmv"]) == []
+
+
+def test_tuple_merge_agg_matches_direct_and_sums(spark):
+    """tuple_merge_agg (tuple/union.rs:68-128 as a grouped aggregate):
+    exact mode == direct build, with AddAssign summaries for keys shared
+    across input sketches; empty groups survive with their theta."""
+    from datasketches_rust_spark.functions.tuple import (
+        tuple_merge_agg,
+        tuple_sketch_agg,
+        tuple_union,
+    )
+
+    df = spark.range(30_000).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") % 5).alias("day"),
+        (F.col("id") % 3000).alias("key"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    per_day = tuple_sketch_agg(df, ["g", "day"], "key", "w", k=8192)
+    merged = tuple_merge_agg(per_day, ["g"], "sketch", k=8192)
+    direct = tuple_sketch_agg(df, ["g"], "key", "w", k=8192)
+    m = {r["g"]: r["sketch"] for r in merged.collect()}
+    d = {r["g"]: r["sketch"] for r in direct.collect()}
+    for g in (0, 1):
+        assert list(m[g]["kmv"]) == list(d[g]["kmv"])
+        assert m[g]["theta"] == d[g]["theta"] == (1 << 63) - 1
+        for ms, ds in zip(m[g]["summaries"], d[g]["summaries"]):
+            assert ms == pytest.approx(ds)
+    # total summary mass is preserved by the merge (exact mode)
+    total = df.agg(F.sum("w")).collect()[0][0]
+    got = sum(sum(m[g]["summaries"]) for g in (0, 1))
+    assert got == pytest.approx(total)
+
+    # estimation mode: merge == pairwise tuple_union fold (k-truncating)
+    per2 = tuple_sketch_agg(
+        df.where("g = 0"), ["day"], "key", "w", k=512
+    ).where("day < 2")
+    est = tuple_merge_agg(
+        per2.drop("day").withColumn("all", F.lit(1)), ["all"], "sketch", k=512
+    ).collect()[0]["sketch"]
+    a, b = [r["sketch"] for r in per2.orderBy("day").collect()]
+    one = spark.createDataFrame(
+        [(list(a["kmv"]), list(a["summaries"]), a["theta"],
+          list(b["kmv"]), list(b["summaries"]), b["theta"])],
+        "ka array<bigint>, sa array<double>, ta bigint, "
+        "kb array<bigint>, sb array<double>, tb bigint",
+    )
+    sa = F.struct(F.col("ka").alias("kmv"), F.col("sa").alias("summaries"), F.col("ta").alias("theta"))
+    sb = F.struct(F.col("kb").alias("kmv"), F.col("sb").alias("summaries"), F.col("tb").alias("theta"))
+    fold = one.select(tuple_union(sa, sb, k=512).alias("u")).collect()[0]["u"]
+    assert list(est["kmv"]) == list(fold["kmv"]) and est["theta"] == fold["theta"]
+    for es, fs in zip(est["summaries"], fold["summaries"]):
+        assert es == pytest.approx(fs)
