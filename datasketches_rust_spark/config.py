@@ -36,6 +36,13 @@ class PipelineConfig:
     max_bucket_size: int = 200
     # substring-dedup rolling window (chars)
     substr_window: int = 32
+    # rep-payload strategy (execution only — never in cfg_hash): True
+    # broadcasts the narrow (content_sha, rep_file_id) key set into the
+    # signature scan so the 2KB kmv/band payload never crosses an
+    # exchange; False falls back to a materialized shuffle-hash reps
+    # stage for jobs whose distinct-content count exceeds broadcast
+    # capacity (~50M keys; see operators/lsh.py rep_payload)
+    broadcast_rep_payload: bool = True
 
     @property
     def num_perm(self) -> int:

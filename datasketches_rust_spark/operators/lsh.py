@@ -28,51 +28,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def exact_representatives(signatures: DataFrame, ids: DataFrame | None = None) -> DataFrame:
-    """One row per distinct content: min file_id is the representative.
+def exact_rep_keys(ids: DataFrame) -> DataFrame:
+    """Narrow rep-key table: (content_sha, rep_file_id, n_copies).
 
-    Deliberately NOT ``agg(first(minhash_kmv), ...)``: ``first()`` over
-    array columns forces a SortAggregate, which sorts the full
-    signature table (kmv arrays and all) twice — measured as the single
-    largest shuffle cost of the pipeline. Instead the rep is chosen with
-    a scalar-only HashAggregate (min file_id + count) and the payload
-    re-attached by an equi-hash-join on (content_sha, file_id): same
-    rows, no sort of the wide table. Identical contents have identical
-    signatures, so which copy donates the payload is immaterial — the
-    min-file_id row is picked for determinism.
-
-    ``ids``: optional pre-materialized narrow (file_id, content_sha)
-    projection. When the signature table is a row-cached localCheckpoint
-    (the non-durable pipeline path), every narrow aggregation over it
-    still scans the full 2KB rows — passing a materialized narrow
-    projection makes the keys agg and the duplicate probe read ~60 bytes
-    per row instead (the wide rows are then scanned exactly once, by the
-    payload join). Parquet-checkpointed callers get the same effect from
-    column pruning and can omit it.
+    The representative of each distinct content is its min file_id,
+    chosen with a scalar-only HashAggregate (map-side combined, ~60 B/row
+    shuffle). Deliberately NOT ``agg(first(minhash_kmv), ...)``:
+    ``first()`` over array columns forces a SortAggregate that sorts the
+    full 2KB signature rows — measured as the single largest shuffle cost
+    of the pipeline. Identical contents have identical signatures, so the
+    min-file_id pick only provides determinism; the payload attaches
+    later (``rep_payload``) without ever shuffling.
     """
-    ids = ids if ids is not None else signatures.select("content_sha", "file_id")
-    keys = ids.groupBy("content_sha").agg(
+    return ids.groupBy("content_sha").agg(
         F.min("file_id").alias("rep_file_id"),
         F.count("*").alias("n_copies"),
     )
-    # the SHUFFLE_HASH hint marks the BUILD side — it must be the narrow
-    # keys relation (hash map of (sha, rep_id) rows), never the 2KB-wide
-    # signature rows, whose per-partition build cannot spill and OOMs at
-    # ~1.5M+ files
-    # one-row-per-sha invariant: if the corpus carries duplicate
-    # (repo, path, commit) rows, the rep's (sha, file_id) matches each copy
-    # and the join emits one rep row per copy. An unconditional wide
-    # dropDuplicates would fix it but forces a SortAggregate over the 2KB
-    # signature rows (First() on binary/array buffers) — measured as
-    # NEGATIVE 4→16-core scaling of this stage. Instead probe for
-    # duplicates with a narrow 2-column agg (map-side combined, ~64 B/row
-    # shuffle) and pay the wide dedup only on the rare input that needs it.
-    # the probe groups on xxhash64(sha, fid) — one 8-byte key instead of
-    # ~100 bytes of (binary sha + hex fid), measured 3x faster; a hash
-    # collision can only create a false "duplicates exist" (triggering a
-    # harmless unneeded dedup), never miss a real duplicate
-    payload = signatures
-    has_dups = (
+
+
+def has_duplicate_id_rows(ids: DataFrame) -> bool:
+    """True if any (content_sha, file_id) pair appears more than once —
+    i.e. the corpus carried duplicate (repo, path, commit) rows, in which
+    case the rep payload join would emit one rep row per copy.
+
+    An unconditional wide dropDuplicates would make that impossible but
+    forces a SortAggregate over the 2KB signature rows (First() on
+    binary/array buffers) — measured as NEGATIVE 4→16-core scaling — so
+    instead this narrow 2-column probe decides whether the wide dedup is
+    needed at all. It groups on xxhash64(sha, fid) — one 8-byte key
+    instead of ~100 bytes of (binary sha + hex fid), measured 3x faster;
+    a hash collision can only create a false "duplicates exist"
+    (triggering a harmless unneeded dedup), never miss a real duplicate.
+    """
+    return (
         ids.groupBy(F.xxhash64("content_sha", "file_id").alias("__k"))
         .count()
         .where(F.col("count") > 1)
@@ -80,9 +68,65 @@ def exact_representatives(signatures: DataFrame, ids: DataFrame | None = None) -
         .count()
         > 0
     )
-    if has_dups:
+
+
+def rep_payload(
+    signatures: DataFrame,
+    keys: DataFrame,
+    payload_cols: list[str],
+    broadcast: bool = True,
+) -> DataFrame:
+    """(content_sha, *payload_cols) of each representative's signature row,
+    derived by joining the already-materialized signature table against
+    the narrow rep-key set — the wide kmv/band payload is scanned in
+    place and NEVER crosses an exchange.
+
+    ``broadcast=True`` (default): the (content_sha, rep_file_id) key set
+    broadcasts into the signature scan (BroadcastHashJoin — zero shuffle
+    of the wide side). The key set is one ~100 B row per distinct
+    content; it fits comfortably to ~50M distinct contents per job.
+    Beyond that pass ``broadcast=False``: a shuffle-hash join with the
+    narrow keys as BUILD side (never the 2KB signature rows, whose
+    per-partition hash map cannot spill and OOMs at ~1.5M+ files) — one
+    wide exchange, so callers with several consumers should materialize
+    the result once.
+    """
+    k = keys.select("content_sha", "rep_file_id")
+    k = F.broadcast(k) if broadcast else k.hint("shuffle_hash")
+    s, k = signatures.alias("s"), k.alias("k")
+    return s.join(
+        k,
+        (F.col("s.content_sha") == F.col("k.content_sha"))
+        & (F.col("s.file_id") == F.col("k.rep_file_id")),
+    ).select(F.col("k.content_sha"), *[F.col(f"s.{c}") for c in payload_cols])
+
+
+def exact_representatives(
+    signatures: DataFrame, ids: DataFrame | None = None, broadcast: bool = True
+) -> DataFrame:
+    """One full-payload row per distinct content (standalone form).
+
+    Composition of ``exact_rep_keys`` + ``rep_payload`` + the
+    ``has_duplicate_id_rows`` probe. The pipeline no longer materializes
+    this wide table — its consumers attach only the columns they need via
+    ``rep_payload`` — but the operator remains for callers wanting the
+    classic reps relation.
+
+    ``ids``: optional pre-materialized narrow (file_id, content_sha)
+    projection. When the signature table is a row-cached localCheckpoint,
+    narrow aggregations over it still scan the full 2KB rows — a
+    materialized narrow projection makes the keys agg and the duplicate
+    probe read ~60 bytes per row instead. Parquet-checkpointed callers
+    get the same effect from column pruning and can omit it.
+    """
+    ids = ids if ids is not None else signatures.select("content_sha", "file_id")
+    keys = exact_rep_keys(ids)
+    payload = signatures
+    if has_duplicate_id_rows(ids):
         payload = signatures.dropDuplicates(["content_sha", "file_id"])
-    s, k = payload.alias("s"), keys.alias("k").hint("shuffle_hash")
+    k = keys.alias("k")
+    k = F.broadcast(k) if broadcast else k.hint("shuffle_hash")
+    s = payload.alias("s")
     return s.join(
         k,
         (F.col("s.content_sha") == F.col("k.content_sha"))

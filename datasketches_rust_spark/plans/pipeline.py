@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import PipelineConfig
 from ..operators.connected_components import connected_components
-from ..operators.lsh import candidate_pairs, exact_pairs, exact_representatives
+from ..operators.lsh import (
+    candidate_pairs,
+    exact_pairs,
+    exact_rep_keys,
+    exact_representatives,
+    has_duplicate_id_rows,
+    rep_payload,
+)
 from ..operators.signatures import compute_signatures
 from ..operators.verify import verify_pairs
 
@@ -101,11 +108,23 @@ class DedupPipeline:
             F.unhex(F.sha2(F.col("content"), 256)).alias("content_sha"),
         )
 
-    def run(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
-        """corpus(repo,path,commit,lang,content) → clusters(file_id,
-        content_sha, cluster_id). cluster_id = min content_sha in component;
-        non-duplicated files map to their own content_sha."""
-        # signatures feed several consumers (rep keys, payload join, the
+    def _dedup_stages(self, corpus: DataFrame, input_fp: str):
+        """Shared stage chain up to verification.
+
+        Returns (sigs, ids, rep_map, verified, fp4) where rep_map is the
+        narrow (content_sha, rep_file_id) relation.
+
+        Broadcast path (cfg.broadcast_rep_payload, default): only the
+        NARROW rep-key table is materialized; consumers re-attach the
+        payload columns they need (candidates: bands; verify: kmv/theta/
+        n_shingles) by broadcasting the key set into the already-
+        materialized signature scan — the ~2KB-wide rows are scanned in
+        place and never re-shuffled or re-materialized (round-3's reps
+        exchange, the pipeline's one bus-bound stage, is gone). Fallback
+        path: the classic materialized wide reps stage, for jobs whose
+        key set exceeds broadcast capacity.
+        """
+        # signatures feed several consumers (rep keys, payload attach, the
         # final file_id→cluster map) — materialize once so the kernel runs
         # once and the cluster stage never re-scans the raw corpus
         sigs, fp1 = self._stage(
@@ -116,14 +135,56 @@ class DedupPipeline:
         # narrow (file_id, content_sha) projection materialized ONCE: the
         # rep keys agg, the duplicate probe and the final cluster map are
         # all narrow consumers, and a row-cached wide table gives them no
-        # column pruning — this 60B/row table does (wide rows are then
-        # scanned exactly once more, by the rep payload join)
+        # column pruning — this 60B/row table does
         ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
-        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs, ids))
-        cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
-        verified, fp4 = self._stage(
-            "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
-        )
+        if self.cfg.broadcast_rep_payload:
+            keys, fp2 = self._stage("rep_keys", fp1, lambda: exact_rep_keys(ids))
+            # duplicate-(sha,fid) probe: lazy so checkpoint resume skips
+            # it; at most one narrow job, only when a stage computes
+            memo: dict = {}
+
+            def payload() -> DataFrame:
+                if "p" not in memo:
+                    memo["p"] = (
+                        sigs.dropDuplicates(["content_sha", "file_id"])
+                        if has_duplicate_id_rows(ids)
+                        else sigs
+                    )
+                return memo["p"]
+
+            cands, fp3 = self._stage(
+                "candidates",
+                fp2,
+                lambda: candidate_pairs(rep_payload(payload(), keys, ["bands"]), self.cfg),
+            )
+            verified, fp4 = self._stage(
+                "verified",
+                fp3,
+                lambda: verify_pairs(
+                    cands,
+                    rep_payload(payload(), keys, ["n_shingles", "minhash_kmv", "theta64"]),
+                    self.cfg,
+                ),
+            )
+            rep_map = keys.select("content_sha", "rep_file_id")
+        else:
+            reps, fp2 = self._stage(
+                "reps", fp1, lambda: exact_representatives(sigs, ids, broadcast=False)
+            )
+            cands, fp3 = self._stage(
+                "candidates", fp2, lambda: candidate_pairs(reps, self.cfg)
+            )
+            verified, fp4 = self._stage(
+                "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
+            )
+            rep_map = reps.select("content_sha", "rep_file_id")
+        return sigs, ids, rep_map, verified, fp4
+
+    def run(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
+        """corpus(repo,path,commit,lang,content) → clusters(file_id,
+        content_sha, cluster_id). cluster_id = min content_sha in component;
+        non-duplicated files map to their own content_sha."""
+        _, ids, _, verified, fp4 = self._dedup_stages(corpus, input_fp)
         edges = (
             verified.where("accepted")
             .select(F.col("sha_a").alias("src"), F.col("sha_b").alias("dst"))
@@ -155,18 +216,7 @@ class DedupPipeline:
 
     def dup_pairs(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
         """(file_id-level) exact + verified near-dup pairs — F3 schema."""
-        sigs, fp1 = self._stage(
-            "signatures",
-            input_fp,
-            lambda: compute_signatures(corpus, self.cfg),
-        )
-        ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
-        reps, fp2 = self._stage("reps", fp1, lambda: exact_representatives(sigs, ids))
-        cands, fp3 = self._stage("candidates", fp2, lambda: candidate_pairs(reps, self.cfg))
-        verified, fp4 = self._stage(
-            "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
-        )
-        rep_map = reps.select("content_sha", "rep_file_id")
+        _, ids, rep_map, verified, _ = self._dedup_stages(corpus, input_fp)
         near = (
             verified.where("accepted")
             .join(rep_map.withColumnRenamed("content_sha", "sha_a")

@@ -67,7 +67,9 @@ def main(corpus_path: str, cpus: int) -> None:
         )
         from datasketches_rust_spark.operators.lsh import (
             candidate_pairs,
-            exact_representatives,
+            exact_rep_keys,
+            has_duplicate_id_rows,
+            rep_payload,
         )
         from datasketches_rust_spark.operators.signatures import compute_signatures
         from datasketches_rust_spark.operators.verify import verify_pairs
@@ -82,9 +84,25 @@ def main(corpus_path: str, cpus: int) -> None:
 
         sigs = timed("signatures", compute_signatures(corpus, cfg))
         ids = timed("ids", sigs.select("file_id", "content_sha"))
-        reps = timed("reps", exact_representatives(sigs, ids))
-        cands = timed("candidates", candidate_pairs(reps, cfg))
-        verified = timed("verify", verify_pairs(cands, reps, cfg))
+        keys = timed("rep_keys", exact_rep_keys(ids))
+        payload = (
+            sigs.dropDuplicates(["content_sha", "file_id"])
+            if has_duplicate_id_rows(ids)
+            else sigs
+        )
+        # the broadcast payload attach is a zero-exchange scan, so its cost
+        # lands inside the consumer stages' walls (candidates/verify)
+        cands = timed(
+            "candidates", candidate_pairs(rep_payload(payload, keys, ["bands"]), cfg)
+        )
+        verified = timed(
+            "verify",
+            verify_pairs(
+                cands,
+                rep_payload(payload, keys, ["n_shingles", "minhash_kmv", "theta64"]),
+                cfg,
+            ),
+        )
         edges = verified.where("accepted").select(
             F.col("sha_a").alias("src"), F.col("sha_b").alias("dst")
         )

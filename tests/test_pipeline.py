@@ -114,7 +114,7 @@ def test_checkpoint_resume_identical_and_reused(spark, corpus, tmp_path):
     metrics = spark.read.parquet(f"{ckpt}/_metrics").toPandas()
     second = metrics[metrics.reused]
     # every stage of the second run resumed from checkpoint
-    assert set(second.stage) >= {"signatures", "reps", "candidates", "verified", "clusters"}
+    assert set(second.stage) >= {"signatures", "rep_keys", "candidates", "verified", "clusters"}
 
     # config change breaks the fingerprint chain → stages recompute
     pipe3 = DedupPipeline(spark, CFG.with_(kmv_k=128), checkpoint_dir=ckpt)
@@ -157,3 +157,43 @@ def test_signature_stage_is_shuffle_free(spark, corpus):
 
     plan = compute_signatures(corpus.drop("file_seq"), CFG)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_rep_payload_attach_is_wide_shuffle_free(spark, corpus):
+    """The broadcast payload attach must be a BroadcastHashJoin over the
+    signature scan with NO hash-partitioning exchange — the wide kmv/band
+    rows are scanned in place, never re-shuffled (round-3 VERDICT: the
+    reps exchange was the pipeline's one bus-bound stage)."""
+    from datasketches_rust_spark.operators.lsh import exact_rep_keys, rep_payload
+    from datasketches_rust_spark.operators.signatures import compute_signatures
+
+    sigs = compute_signatures(corpus.drop("file_seq"), CFG).localCheckpoint(eager=True)
+    keys = exact_rep_keys(
+        sigs.select("file_id", "content_sha")
+    ).localCheckpoint(eager=True)
+    attached = rep_payload(sigs, keys, ["bands"])
+    plan = attached._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    # and it selects exactly the rep rows with the requested columns
+    n_distinct = sigs.select("content_sha").distinct().count()
+    assert attached.columns == ["content_sha", "bands"]
+    assert attached.count() == n_distinct
+
+
+def test_rep_payload_fallback_path_identical(spark, corpus):
+    """cfg.broadcast_rep_payload=False (the >50M-keys fallback: classic
+    materialized shuffle-hash reps stage) must produce identical clusters."""
+    a = (
+        DedupPipeline(spark, CFG)
+        .run(corpus.drop("file_seq"))
+        .orderBy("file_id")
+        .toPandas()
+    )
+    b = (
+        DedupPipeline(spark, CFG.with_(broadcast_rep_payload=False))
+        .run(corpus.drop("file_seq"))
+        .orderBy("file_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(a, b)
