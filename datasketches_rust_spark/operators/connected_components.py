@@ -15,13 +15,15 @@ exactly FIXTURES.md F4's cluster_id = min content_sha.
 Each iteration ends with a lineage cut (localCheckpoint, or parquet
 round-trip when a checkpoint dir is provided) — iterative plans otherwise
 grow Catalyst lineage exponentially. Convergence is detected by an
-order-insensitive fingerprint agg (count + bit-xor of pair hashes), one
-tiny job per iteration.
+order-insensitive fingerprint (count + sum of pair hashes) that rides the
+materialization action itself via ``DataFrame.observe`` — no separate
+fingerprint job per iteration (the loop is scheduling-overhead-bound at
+high core counts, so jobs per iteration matter more than bytes).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -55,19 +57,12 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return via_nbrs.unionByName(self_edge).distinct()
 
 
-def _fingerprint(edges: DataFrame) -> tuple:
-    row = edges.agg(
-        F.count("*").alias("n"),
-        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return (row["n"], row["h"])
-
-
 def _cut_lineage(df: DataFrame, checkpoint_dir: str | None, tag: str) -> DataFrame:
+    """Materialize + truncate lineage. The action taken here (eager
+    localCheckpoint or parquet write) is the ONLY job of an iteration —
+    the convergence fingerprint rides it as an observed metric."""
     if checkpoint_dir is None:
-        # lazy: the fingerprint action right after materializes it, so each
-        # iteration costs one job instead of two
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=True)
     path = f"{checkpoint_dir}/cc_{tag}"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
@@ -97,8 +92,19 @@ def connected_components(
         prev = None
         for it in range(max_iter):
             e = _small_star(_large_star(e))
+            # the order-insensitive fingerprint is an observed metric on
+            # the iteration's own materialization action (eager checkpoint
+            # or parquet write) — obs.get returns instantly afterwards, so
+            # convergence detection adds zero jobs
+            obs = Observation(f"cc_fp_{it}")
+            e = e.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+            )
             e = _cut_lineage(e, checkpoint_dir, f"iter{it % 2}")
-            fp = _fingerprint(e)
+            row = obs.get
+            fp = (row["n"], row["h"])
             if fp == prev:
                 break
             prev = fp

@@ -24,7 +24,10 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
+
+from .signatures import _arrow_string_to_buf
 
 _B = np.uint64(1099511628211)  # FNV prime, odd → invertible mod 2^64
 _B_INV = np.uint64(pow(int(_B), -1, 1 << 64))
@@ -35,18 +38,46 @@ def rolling_window_hashes(text: bytes, window: int) -> np.ndarray:
 
     H(i) = sum_{j<W} b[i+j] * B^(W-1-j)  (mod 2^64), computed from modular
     prefix sums: H(i) = B^(W-1+i) * (S[i+W] - S[i]) with S[t] = sum b[u]*B^-u.
+    Single-doc reference form of ``rolling_window_hashes_buf`` (kept for
+    tests and driver-side use; the Spark kernels use the buffer form).
     """
-    b = np.frombuffer(text, dtype=np.uint8).astype(np.uint64)
-    n = len(b)
-    if n < window:
-        return np.empty(0, dtype=np.uint64)
-    inv_pows = np.cumprod(np.full(n, _B_INV, dtype=np.uint64)) * _B  # B^-t, t=0..n-1
+    b = np.frombuffer(text, dtype=np.uint8)
+    h, _ = rolling_window_hashes_buf(b, np.array([0, len(b)], dtype=np.int64), window)
+    return h
+
+
+def rolling_window_hashes_buf(
+    buf: np.ndarray, doc_offs: np.ndarray, window: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Window hashes of EVERY doc in a flat (uint8 buffer, offsets) batch —
+    one vectorized pass over the whole Arrow buffer, no per-doc Python.
+
+    Because H(i) = B^(W-1+i) · (S[i+W] − S[i]) telescopes the global
+    position out of the sum, prefix sums computed ONCE over the
+    concatenated buffer yield position-independent hashes for every doc:
+    window starts are simply restricted to [off_d, off_{d+1} − W] so no
+    window crosses a doc boundary. Returns (hashes, win_offs) with doc
+    d's hashes at ``hashes[win_offs[d]:win_offs[d+1]]`` in position
+    order; docs shorter than ``window`` contribute zero windows.
+    """
+    lens = np.diff(doc_offs)
+    counts = np.maximum(lens - window + 1, 0)
+    woffs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(counts, out=woffs[1:])
+    total = int(woffs[-1])
+    n = len(buf)
+    if total == 0:
+        return np.empty(0, dtype=np.uint64), woffs
+    b = buf.astype(np.uint64)
+    inv_pows = np.cumprod(np.full(n, _B_INV, dtype=np.uint64)) * _B  # B^-t
     s = np.zeros(n + 1, dtype=np.uint64)
     np.cumsum(b * inv_pows, out=s[1:])
-    i = np.arange(n - window + 1)
     pows = np.cumprod(np.full(n, _B, dtype=np.uint64)) * _B_INV  # B^t
-    coef = pows[i + window - 1]  # B^(W-1+i)
-    return (s[i + window] - s[i]) * coef
+    has = counts > 0
+    starts = np.repeat(doc_offs[:-1][has], counts[has]) + (
+        np.arange(total, dtype=np.int64) - np.repeat(woffs[:-1][has], counts[has])
+    )
+    return (s[starts + window] - s[starts]) * pows[starts + window - 1], woffs
 
 
 def _bloom_positions_np(h: np.ndarray, m: int) -> np.ndarray:
@@ -81,34 +112,38 @@ def _prefix_bloom_bitmap(
     """
     pre = base.select(F.substring(F.col(text_col), 1, window).alias("__t")).coalesce(8)
 
-    def bitmaps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def bitmaps(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bm = np.zeros(m // 8, dtype=np.uint8)
         seen = False
-        for pdf in batches:
-            hs = []
-            for txt in pdf["__t"]:
-                b = str(txt).encode("utf-8")[:window]
-                if len(b) == window:
-                    hs.append(rolling_window_hashes(b, window)[0])
-            if hs:
-                pos = _bloom_positions_np(np.asarray(hs, dtype=np.uint64), m)
-                np.bitwise_or.at(
-                    bm,
-                    (pos >> np.uint64(3)).astype(np.int64),
-                    np.left_shift(1, (pos & np.uint64(7)).astype(np.int64)).astype(np.uint8),
-                )
+        for rb in batches:
             seen = True
+            if not rb.num_rows:
+                continue
+            buf, offs = _arrow_string_to_buf(rb.column(0))
+            h, woffs = rolling_window_hashes_buf(buf, offs, window)
+            if len(h) == 0:
+                continue
+            counts = np.diff(woffs)
+            hs = h[woffs[:-1][counts > 0]]  # first-window hash per doc
+            pos = _bloom_positions_np(hs, m)
+            np.bitwise_or.at(
+                bm,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(1, (pos & np.uint64(7)).astype(np.int64)).astype(np.uint8),
+            )
         if seen:
-            yield pd.DataFrame({"bm": [bm.tobytes()]})
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bm.tobytes()], type=pa.binary())], ["bm"]
+            )
 
     out = np.zeros(m // 8, dtype=np.uint8)
-    for row in pre.mapInPandas(bitmaps, "bm binary").collect():
+    for row in pre.mapInArrow(bitmaps, "bm binary").collect():
         out |= np.frombuffer(row["bm"], dtype=np.uint8)
     return out.tobytes()
 
 
 def _hash_batches(id_col: str, text_col: str, window: int, bloom=None, m: int = 0):
-    """One pass emitting window hashes, prefix rows flagged __p=1.
+    """One Arrow pass emitting window hashes, prefix rows flagged __p=1.
 
     With ``bloom`` (a broadcast bitmap of all prefix hashes), non-prefix
     window hashes that miss the bloom are dropped IN the kernel — the
@@ -116,31 +151,60 @@ def _hash_batches(id_col: str, text_col: str, window: int, bloom=None, m: int = 
     join near O(n_docs) instead of O(total_chars). No recall loss: the
     bloom has no false negatives (every prefix was inserted), and bloom
     false positives are removed by the exact ``instr`` verify.
+
+    Buffer path: UTF-8 bytes are read straight from the Arrow data buffer
+    (``_arrow_string_to_buf``) and hashed in ONE vectorized pass over the
+    whole batch (``rolling_window_hashes_buf``); the bloom screen is one
+    batch-wide mask. The only remaining per-doc step is the np.unique of
+    each doc's (post-screen) window-hash segment — contiguous, L1-sized
+    views, the same deliberate pattern as sigkit/tokenize.py's
+    per-segment unique (a global lexsort measured slower).
     """
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bitmap = np.frombuffer(bloom.value, dtype=np.uint8) if bloom is not None else None
-        for pdf in batches:
-            ids, hashes, flags = [], [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                h = rolling_window_hashes(str(txt).encode("utf-8"), window)
-                if len(h) == 0:
-                    continue
-                prefix = h[0]
-                u = np.unique(h)
-                if bitmap is not None:
-                    u = u[_bloom_hit(bitmap, u, m) | (u == prefix)]
-                ids.append(np.repeat(np.asarray([did]), len(u)))
-                hashes.append(u.view(np.int64))
-                flags.append((u == prefix).astype(np.int8))
-            if ids:
-                yield pd.DataFrame(
-                    {
-                        "__id": np.concatenate(ids),
-                        "__h": np.concatenate(hashes),
-                        "__p": np.concatenate(flags),
-                    }
-                )
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            buf, offs = _arrow_string_to_buf(
+                rb.column(rb.schema.get_field_index(text_col))
+            )
+            h, woffs = rolling_window_hashes_buf(buf, offs, window)
+            if len(h) == 0:
+                continue
+            counts = np.diff(woffs)
+            pref = np.zeros(len(counts), dtype=np.uint64)
+            hasw = counts > 0
+            pref[hasw] = h[woffs[:-1][hasw]]
+            if bitmap is not None:
+                keep = _bloom_hit(bitmap, h, m) | (h == np.repeat(pref, counts))
+                dk = np.repeat(np.arange(len(counts)), counts)[keep]
+                hk = h[keep]
+                kcounts = np.bincount(dk, minlength=len(counts))
+            else:
+                hk, kcounts = h, counts
+            koffs = np.zeros(len(kcounts) + 1, dtype=np.int64)
+            np.cumsum(kcounts, out=koffs[1:])
+            uniq, doc_idx, lens = [], [], []
+            for d in np.nonzero(kcounts)[0]:
+                u = np.unique(hk[koffs[d]: koffs[d + 1]])
+                uniq.append(u)
+                doc_idx.append(d)
+                lens.append(len(u))
+            if not uniq:
+                continue
+            u_all = np.concatenate(uniq)
+            row_doc = np.repeat(np.asarray(doc_idx, dtype=np.int64), lens)
+            p_all = (u_all == pref[row_doc]).astype(np.int8)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(row_doc)),
+                    pa.array(u_all.view(np.int64)),
+                    pa.array(p_all),
+                ],
+                ["__id", "__h", "__p"],
+            )
 
     return run
 
@@ -183,7 +247,7 @@ def containment_pairs(
         bloom = base.sparkSession.sparkContext.broadcast(bitmap)
 
     # one kernel pass over the corpus, reused for both join sides
-    hashed = base.mapInPandas(_hash_batches(id_col, text_col, window, bloom, m), schema)
+    hashed = base.mapInArrow(_hash_batches(id_col, text_col, window, bloom, m), schema)
     hashed = hashed.localCheckpoint(eager=False)
     windows = hashed.select("__id", "__h")
     prefixes = hashed.where(F.col("__p") == 1).select("__id", "__h")
@@ -281,25 +345,45 @@ def doc_fingerprints(
     >= window + winnow_window - 1 chars (47 at the defaults) are GUARANTEED
     to share a fingerprint — the partial-overlap retrieval property the
     single-global-min variant lacked. Expected density ~2/(winnow_window+1)
-    of the window hashes."""
+    of the window hashes.
+
+    Buffer path: all window hashes come from one vectorized pass over the
+    Arrow batch (``rolling_window_hashes_buf``); the per-doc winnow/unique
+    step operates on contiguous L1-sized views of that array (the
+    tokenize.py per-segment pattern), with no per-doc encode or hashing.
+    """
     base = docs.select(F.col(id_col), F.col(text_col))
     id_t = base.schema[0].dataType.simpleString()
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, fps = [], []
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                h = rolling_window_hashes(str(txt).encode("utf-8"), window)
-                if len(h) == 0:
-                    continue
-                u = winnow_hashes(h, winnow_window)
-                ids.append(np.repeat(np.asarray([did]), len(u)))
-                fps.append(u.view(np.int64))
-            if ids:
-                yield pd.DataFrame(
-                    {"__id": np.concatenate(ids), "fingerprint": np.concatenate(fps)}
-                )
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            buf, offs = _arrow_string_to_buf(
+                rb.column(rb.schema.get_field_index(text_col))
+            )
+            h, woffs = rolling_window_hashes_buf(buf, offs, window)
+            if len(h) == 0:
+                continue
+            counts = np.diff(woffs)
+            uniq, doc_idx, lens = [], [], []
+            for d in np.nonzero(counts)[0]:
+                u = winnow_hashes(h[woffs[d]: woffs[d + 1]], winnow_window)
+                uniq.append(u)
+                doc_idx.append(d)
+                lens.append(len(u))
+            if not uniq:
+                continue
+            row_doc = np.repeat(np.asarray(doc_idx, dtype=np.int64), lens)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(row_doc)),
+                    pa.array(np.concatenate(uniq).view(np.int64)),
+                ],
+                ["__id", "fingerprint"],
+            )
 
-    return base.mapInPandas(run, f"__id {id_t}, fingerprint long").withColumnRenamed(
+    return base.mapInArrow(run, f"__id {id_t}, fingerprint long").withColumnRenamed(
         "__id", id_col
     )
