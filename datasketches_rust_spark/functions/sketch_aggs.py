@@ -102,6 +102,185 @@ def tdigest_agg(
     return out.drop(_GRP) if not group_cols else out
 
 
+def tdigest_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    delta: float = 200.0,
+) -> DataFrame:
+    """(group..., means array<double>, weights array<double>) — ONE stored
+    mergeable t-digest per group, the sketch-warehouse storable form
+    (TDigest serialized state; tdigest/sketch.rs centroids). Pair with
+    ``tdigest_merge_agg`` to re-aggregate stored digests later without
+    rescanning raw values.
+    """
+    df, gcols = _with_group(df, group_cols)
+    base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
+    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    part_schema = f"{gschema}, means array<double>, weights array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                d = digests.setdefault(key, TDigest(delta))
+                d.update_batch(sub["__v"].to_numpy())
+        rows = []
+        for key, d in digests.items():
+            m, w = d.to_rows()
+            rows.append((*key, m, w))
+        yield pd.DataFrame(rows, columns=[*gcols, "means", "weights"])
+
+    part = base.mapInPandas(partials, part_schema)
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.from_rows(
+            delta,
+            np.concatenate([np.asarray(m, dtype=np.float64) for m in pdf["means"]]),
+            np.concatenate([np.asarray(w, dtype=np.float64) for w in pdf["weights"]]),
+        )
+        m, w = d.to_rows()
+        return pd.DataFrame([(*key, m, w)], columns=[*gcols, "means", "weights"])
+
+    out = part.groupBy(*gcols).applyInPandas(final, part_schema)
+    return out.drop(_GRP) if not group_cols else out
+
+
+def tdigest_merge_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    delta: float = 200.0,
+    means_col: str = "means",
+    weights_col: str = "weights",
+    col_names: list[str] | None = None,
+) -> DataFrame:
+    """Merge the N stored t-digests in each group — the reference's
+    buffer-then-compress merge (tdigest/sketch.rs:235-259) as a grouped
+    aggregate over (means, weights) array columns — and evaluate the
+    requested quantiles. Shuffle volume is O(groups × delta centroids),
+    independent of the raw rows the stored digests summarized.
+    """
+    if col_names is None:
+        col_names = [_quantile_col_name(q) for q in quantiles]
+    if len(set(col_names)) != len(col_names):
+        raise ValueError(f"duplicate quantile column names: {col_names}")
+    df, gcols = _with_group(df, group_cols)
+    base = df.select(
+        *gcols, F.col(means_col).alias("__m"), F.col(weights_col).alias("__w")
+    )
+    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    out_schema = gschema + ", " + ", ".join(f"{c} double" for c in col_names)
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.from_rows(
+            delta,
+            np.concatenate(
+                [np.asarray(m, dtype=np.float64) for m in pdf["__m"]]
+                or [np.empty(0, np.float64)]
+            ),
+            np.concatenate(
+                [np.asarray(w, dtype=np.float64) for w in pdf["__w"]]
+                or [np.empty(0, np.float64)]
+            ),
+        )
+        qs = [d.quantile(q) for q in quantiles]
+        return pd.DataFrame([(*key, *qs)], columns=[*gcols, *col_names])
+
+    out = base.groupBy(*gcols).applyInPandas(final, out_schema)
+    return out.drop(_GRP) if not group_cols else out
+
+
+def frequent_items_sketch_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    max_map_size: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(group..., items, counts, offset, weight) — ONE stored Misra-Gries
+    sketch per group (FrequentItemsSketch serialized state), the storable
+    counterpart of ``frequent_items_agg``; re-aggregate later with
+    ``frequent_items_merge_agg``."""
+    df, gcols = _with_group(df, group_cols)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
+    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    part_schema = (
+        f"{gschema}, items array<string>, counts array<long>, offset long, weight long"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                s = sk.setdefault(key, MisraGries(max_map_size))
+                s.update_batch(sub["__it"].to_numpy(), sub["__w"].to_numpy())
+        rows = []
+        for key, s in sk.items():
+            items, counts, off, wt = s.to_rows()
+            rows.append((*key, items, counts, off, wt))
+        yield pd.DataFrame(rows, columns=[*gcols, "items", "counts", "offset", "weight"])
+
+    part = base.mapInPandas(partials, part_schema)
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = MisraGries(max_map_size)
+        for items, counts, off, wt in zip(
+            pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]
+        ):
+            s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
+        items, counts, off, wt = s.to_rows()
+        return pd.DataFrame(
+            [(*key, items, counts, off, wt)],
+            columns=[*gcols, "items", "counts", "offset", "weight"],
+        )
+
+    out = part.groupBy(*gcols).applyInPandas(final, part_schema)
+    return out.drop(_GRP) if not group_cols else out
+
+
+def frequent_items_merge_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    max_map_size: int = 256,
+    threshold_weight: int | None = None,
+    no_false_negatives: bool = True,
+) -> DataFrame:
+    """Merge the N stored Misra-Gries sketches in each group — itemwise
+    count addition + offset addition (frequencies/sketch.rs:358-371) —
+    and run the threshold query under the chosen error type. Input rows
+    carry (items, counts, offset, weight) columns as produced by
+    ``frequent_items_sketch_agg``."""
+    df, gcols = _with_group(df, group_cols)
+    base = df.select(*gcols, "items", "counts", "offset", "weight")
+    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    out_schema = f"{gschema}, item string, count_lb long, count_ub long"
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        s = MisraGries(max_map_size)
+        for items, counts, off, wt in zip(
+            pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]
+        ):
+            s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
+        thr = threshold_weight if threshold_weight is not None else s.maximum_error()
+        ub = s.counts + s.offset
+        keep = (ub >= thr) if no_false_negatives else (s.counts >= thr)
+        return pd.DataFrame(
+            {
+                **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},
+                "item": s.items[keep],
+                "count_lb": s.counts[keep],
+                "count_ub": ub[keep],
+            }
+        )
+
+    out = base.groupBy(*gcols).applyInPandas(final, out_schema)
+    return out.drop(_GRP) if not group_cols else out
+
+
 def frequent_items_agg(
     df: DataFrame,
     group_cols: list[str],

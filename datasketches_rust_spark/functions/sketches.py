@@ -86,6 +86,19 @@ def countmin_build(
     return ex.groupBy("row", "bucket").agg(F.sum("__w").alias("cnt"))
 
 
+def countmin_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge N Count-Min counter tables built with the SAME (num_hashes,
+    width) config — elementwise counter addition (countmin/sketch.rs:
+    254-267) is exactly a grouped sum over the (row, bucket) key. The
+    config-compatibility contract is the caller's (the reference's merge
+    errors on mismatched dimensions; a DataFrame carries no config, so
+    pair this with one shared config constant per sketch family)."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), sketches)
+    return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
 def countmin_estimate(
     sketch: DataFrame,
     items: DataFrame,

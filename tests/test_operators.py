@@ -1217,3 +1217,90 @@ def _timed(fn):
     t = time.perf_counter()
     fn()
     return time.perf_counter() - t
+
+
+def test_tdigest_sketch_and_merge_agg(spark):
+    """Sketch-warehouse t-digest: store per-(g,day) digests, merge per g
+    (buffer-then-compress, tdigest/sketch.rs:235-259). Exact-mode (huge
+    delta, singleton centroids) merge == direct build; estimation-mode
+    merge stays within the digest's rank-error envelope."""
+    from datasketches_rust_spark.functions.sketch_aggs import (
+        tdigest_agg,
+        tdigest_merge_agg,
+        tdigest_sketch_agg,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 2).alias("g"),
+        (F.col("id") % 5).alias("day"),
+        (F.pmod(F.xxhash64("id"), F.lit(100_000)) / 100.0).alias("v"),
+    )
+    stored = tdigest_sketch_agg(df, ["g", "day"], "v", delta=1e7)
+    merged = tdigest_merge_agg(stored, ["g"], [0.5, 0.9], delta=1e7)
+    direct = tdigest_agg(df, ["g"], "v", [0.5, 0.9], delta=1e7)
+    m = {r["g"]: (r["p50"], r["p90"]) for r in merged.collect()}
+    d = {r["g"]: (r["p50"], r["p90"]) for r in direct.collect()}
+    assert m == d  # exact mode: identical singleton centroids either way
+
+    # estimation mode: merged digests track the exact quantiles
+    stored_e = tdigest_sketch_agg(df, ["g", "day"], "v", delta=200.0)
+    merged_e = tdigest_merge_agg(stored_e, ["g"], [0.5, 0.9], delta=200.0)
+    me = {r["g"]: (r["p50"], r["p90"]) for r in merged_e.collect()}
+    for g in (0, 1):
+        for got, exact in zip(me[g], d[g]):
+            assert got == pytest.approx(exact, rel=0.05), (g, me[g], d[g])
+
+
+def test_frequent_items_sketch_and_merge_agg(spark):
+    """Stored Misra-Gries sketches merged per group (itemwise add +
+    offset add, frequencies/sketch.rs:358-371): exact mode reproduces the
+    direct aggregate; estimation mode keeps the NoFN guarantee."""
+    from datasketches_rust_spark.functions.sketch_aggs import (
+        frequent_items_merge_agg,
+        frequent_items_sketch_agg,
+    )
+
+    items = (
+        [("g0", d, "hot") for d in range(4) for _ in range(1000)]
+        + [("g0", d, f"cold{d}_{i}") for d in range(4) for i in range(500)]
+        + [("g1", 0, "warm")] * 900
+    )
+    df = spark.createDataFrame(items, "g string, day long, item string").repartition(8)
+    # exact mode: map >= distinct items per (g, day) sketch and per merge
+    stored = frequent_items_sketch_agg(df, ["g", "day"], "item", max_map_size=4096)
+    merged = frequent_items_merge_agg(
+        stored, ["g"], max_map_size=4096, threshold_weight=800
+    )
+    rows = {(r["g"], r["item"]): (r["count_lb"], r["count_ub"]) for r in merged.collect()}
+    assert rows == {("g0", "hot"): (4000, 4000), ("g1", "warm"): (900, 900)}
+    # estimation mode: purging sketches, merged NoFN keeps every true hitter
+    stored_e = frequent_items_sketch_agg(df, ["g", "day"], "item", max_map_size=32)
+    merged_e = frequent_items_merge_agg(
+        stored_e, ["g"], max_map_size=32, threshold_weight=800
+    )
+    got = {(r["g"], r["item"]) for r in merged_e.collect()}
+    assert {("g0", "hot"), ("g1", "warm")} <= got
+
+
+def test_countmin_merge(spark):
+    """Merged counter tables == table built on the concatenated input
+    (elementwise add, countmin/sketch.rs:254-267)."""
+    from datasketches_rust_spark.functions.sketches import countmin_merge
+
+    d1 = spark.createDataFrame([(f"k{i % 5}",) for i in range(500)], "k string")
+    d2 = spark.createDataFrame([(f"k{i % 9}",) for i in range(900)], "k string")
+    kw = dict(num_hashes=3, width=512)
+    merged = countmin_merge(
+        countmin_build(d1, "k", **kw), countmin_build(d2, "k", **kw)
+    )
+    both = countmin_build(d1.unionByName(d2), "k", **kw)
+    items = d1.unionByName(d2).select("k").distinct()
+    em = {
+        r["k"]: r["est_count"]
+        for r in countmin_estimate(merged, items, "k", **kw).collect()
+    }
+    eb = {
+        r["k"]: r["est_count"]
+        for r in countmin_estimate(both, items, "k", **kw).collect()
+    }
+    assert em == eb and sum(em.values()) >= 1400
