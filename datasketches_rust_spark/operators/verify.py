@@ -77,6 +77,21 @@ def verify_pairs(
 ) -> DataFrame:
     """candidates(sha_a, sha_b) → (sha_a, sha_b, jaccard_est, accepted)."""
     sigs = reps.select("content_sha", "minhash_kmv", "theta64", "n_shingles")
+    # semi-join pushdown: the pair joins shuffle the kmv payload on BOTH
+    # sides, but only shas that actually occur in a candidate pair are
+    # needed — broadcast the (small) candidate-sha set into the payload
+    # scan so the wide exchange carries just those rows (candidates are a
+    # small corpus fraction by construction: they passed LSH banding).
+    # Gated by the same knob as the rep-key broadcast: jobs whose
+    # candidate set exceeds broadcast capacity skip it and shuffle the
+    # full payload as before.
+    if getattr(cfg, "broadcast_rep_payload", True):
+        cand_shas = (
+            candidates.select(F.col("sha_a").alias("content_sha"))
+            .unionByName(candidates.select(F.col("sha_b").alias("content_sha")))
+            .distinct()
+        )
+        sigs = sigs.join(F.broadcast(cand_shas), "content_sha", "left_semi")
     # Join 1: SHUFFLE_HASH with the BUILD side on the narrow pair relation
     # — the 2KB-wide signature rows stream through unsorted and are never
     # held in a hash map (a wide build side cannot spill and OOMs).
