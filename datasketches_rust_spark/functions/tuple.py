@@ -130,7 +130,13 @@ def tuple_merge_agg(
     of keys shared across sketches — with the min-theta screen applied
     before the salted two-level k-truncation, exactly the
     screen-then-combine-then-truncate order of the reference union.
-    ``explode_outer`` keeps empty sketches contributing their theta.
+    Empty sketches contribute their theta through the thetas aggregate,
+    and all-empty groups are restored by the final (tiny) left join.
+
+    ``df`` is consumed three times (thetas, entries, the group-restore
+    join): pass a materialized relation — a stored sketch table, cache,
+    or checkpoint — as the warehouse pattern naturally does; an
+    unmaterialized aggregation chain would be replayed per consumer.
     """
     grp = "__mg_grp"
     if not group_cols:
@@ -139,19 +145,18 @@ def tuple_merge_agg(
     else:
         gcols = list(group_cols)
     s = F.col(sketch_col)
-    ex = df.select(
+    # thetas comes straight from df (no exploded copy): empty sketches
+    # contribute their theta here, so the entry branch can use a plain
+    # explode — one less duplicated upstream chain in the physical plan
+    thetas = df.groupBy(*gcols).agg(F.min(s["theta"]).alias("__theta"))
+    entries = df.select(
         *gcols,
-        s["theta"].alias("__t"),
-        F.explode_outer(
+        F.explode(
             F.zip_with(
                 s["kmv"], s["summaries"], lambda h, v: F.struct(h.alias("h"), v.alias("s"))
             )
         ).alias("__e"),
-    )
-    thetas = ex.groupBy(*gcols).agg(F.min("__t").alias("__theta"))
-    entries = ex.where(F.col("__e").isNotNull()).select(
-        *gcols, F.col("__e")["h"].alias("__h"), F.col("__e")["s"].alias("__s")
-    )
+    ).select(*gcols, F.col("__e")["h"].alias("__h"), F.col("__e")["s"].alias("__s"))
     keyed = (
         entries.join(F.broadcast(thetas), gcols)
         .where(F.col("__h") < F.col("__theta"))
