@@ -44,6 +44,77 @@ def _with_group(df: DataFrame, group_cols: list[str]) -> tuple[DataFrame, list[s
     return df.withColumn(_GRP, F.lit(0)), [_GRP]
 
 
+def _gschema(base: DataFrame, gcols: list[str]) -> str:
+    return ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+
+
+def _tdigest_partials(base: DataFrame, gcols: list[str], delta: float) -> DataFrame:
+    """Per-input-partition digests: (group..., means, weights) rows —
+    the shared partial stage of tdigest_agg / tdigest_sketch_agg."""
+    part_schema = f"{_gschema(base, gcols)}, means array<double>, weights array<double>"
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        digests: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                d = digests.setdefault(key, TDigest(delta))
+                d.update_batch(sub["__v"].to_numpy())
+        rows = []
+        for key, d in digests.items():
+            m, w = d.to_rows()
+            rows.append((*key, m, w))
+        yield pd.DataFrame(rows, columns=[*gcols, "means", "weights"])
+
+    return base.mapInPandas(partials, part_schema)
+
+
+def _merged_tdigest(pdf: pd.DataFrame, delta: float, m_col: str = "means", w_col: str = "weights") -> TDigest:
+    """Buffer-then-compress merge of stored digest rows
+    (tdigest/sketch.rs:235-259) instead of P sequential merges."""
+    return TDigest.from_rows(
+        delta,
+        np.concatenate(
+            [np.asarray(m, dtype=np.float64) for m in pdf[m_col]] or [np.empty(0, np.float64)]
+        ),
+        np.concatenate(
+            [np.asarray(w, dtype=np.float64) for w in pdf[w_col]] or [np.empty(0, np.float64)]
+        ),
+    )
+
+
+def _mg_partials(base: DataFrame, gcols: list[str], max_map_size: int) -> DataFrame:
+    """Per-input-partition Misra-Gries states — the shared partial stage
+    of frequent_items_agg / frequent_items_sketch_agg."""
+    part_schema = (
+        f"{_gschema(base, gcols)}, items array<string>, counts array<long>, offset long, weight long"
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sk: dict = {}
+        for pdf in batches:
+            for key, sub in pdf.groupby(gcols, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                s = sk.setdefault(key, MisraGries(max_map_size))
+                s.update_batch(sub["__it"].to_numpy(), sub["__w"].to_numpy())
+        rows = []
+        for key, s in sk.items():
+            items, counts, off, wt = s.to_rows()
+            rows.append((*key, items, counts, off, wt))
+        yield pd.DataFrame(rows, columns=[*gcols, "items", "counts", "offset", "weight"])
+
+    return base.mapInPandas(partials, part_schema)
+
+
+def _merged_mg(pdf: pd.DataFrame, max_map_size: int) -> MisraGries:
+    """Itemwise-add merge of stored MG rows (frequencies/sketch.rs:358-371)."""
+    s = MisraGries(max_map_size)
+    for items, counts, off, wt in zip(pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]):
+        s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
+    return s
+
+
+
 def tdigest_agg(
     df: DataFrame,
     group_cols: list[str],
@@ -67,34 +138,11 @@ def tdigest_agg(
         raise ValueError(f"duplicate quantile column names: {col_names}")
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
-    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
-    part_schema = f"{gschema}, means array<double>, weights array<double>"
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        digests: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                d = digests.setdefault(key, TDigest(delta))
-                d.update_batch(sub["__v"].to_numpy())
-        rows = []
-        for key, d in digests.items():
-            m, w = d.to_rows()
-            rows.append((*key, m, w))
-        yield pd.DataFrame(rows, columns=[*gcols, "means", "weights"])
-
-    part = base.mapInPandas(partials, part_schema)
-
-    out_schema = gschema + ", " + ", ".join(f"{c} double" for c in col_names)
+    part = _tdigest_partials(base, gcols, delta)
+    out_schema = _gschema(base, gcols) + ", " + ", ".join(f"{c} double" for c in col_names)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # one concat + one compress (the reference's buffer-then-compress
-        # merge, tdigest/sketch.rs:235-259) instead of P sequential merges
-        d = TDigest.from_rows(
-            delta,
-            np.concatenate([np.asarray(m, dtype=np.float64) for m in pdf["means"]]),
-            np.concatenate([np.asarray(w, dtype=np.float64) for w in pdf["weights"]]),
-        )
+        d = _merged_tdigest(pdf, delta)
         qs = [d.quantile(q) for q in quantiles]
         return pd.DataFrame([(*key, *qs)], columns=[*gcols, *col_names])
 
@@ -116,31 +164,11 @@ def tdigest_sketch_agg(
     """
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
-    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
-    part_schema = f"{gschema}, means array<double>, weights array<double>"
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        digests: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                d = digests.setdefault(key, TDigest(delta))
-                d.update_batch(sub["__v"].to_numpy())
-        rows = []
-        for key, d in digests.items():
-            m, w = d.to_rows()
-            rows.append((*key, m, w))
-        yield pd.DataFrame(rows, columns=[*gcols, "means", "weights"])
-
-    part = base.mapInPandas(partials, part_schema)
+    part = _tdigest_partials(base, gcols, delta)
+    part_schema = f"{_gschema(base, gcols)}, means array<double>, weights array<double>"
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        d = TDigest.from_rows(
-            delta,
-            np.concatenate([np.asarray(m, dtype=np.float64) for m in pdf["means"]]),
-            np.concatenate([np.asarray(w, dtype=np.float64) for w in pdf["weights"]]),
-        )
-        m, w = d.to_rows()
+        m, w = _merged_tdigest(pdf, delta).to_rows()
         return pd.DataFrame([(*key, m, w)], columns=[*gcols, "means", "weights"])
 
     out = part.groupBy(*gcols).applyInPandas(final, part_schema)
@@ -170,21 +198,10 @@ def tdigest_merge_agg(
     base = df.select(
         *gcols, F.col(means_col).alias("__m"), F.col(weights_col).alias("__w")
     )
-    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
-    out_schema = gschema + ", " + ", ".join(f"{c} double" for c in col_names)
+    out_schema = _gschema(base, gcols) + ", " + ", ".join(f"{c} double" for c in col_names)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        d = TDigest.from_rows(
-            delta,
-            np.concatenate(
-                [np.asarray(m, dtype=np.float64) for m in pdf["__m"]]
-                or [np.empty(0, np.float64)]
-            ),
-            np.concatenate(
-                [np.asarray(w, dtype=np.float64) for w in pdf["__w"]]
-                or [np.empty(0, np.float64)]
-            ),
-        )
+        d = _merged_tdigest(pdf, delta, "__m", "__w")
         qs = [d.quantile(q) for q in quantiles]
         return pd.DataFrame([(*key, *qs)], columns=[*gcols, *col_names])
 
@@ -206,33 +223,13 @@ def frequent_items_sketch_agg(
     df, gcols = _with_group(df, group_cols)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
-    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
+    part = _mg_partials(base, gcols, max_map_size)
     part_schema = (
-        f"{gschema}, items array<string>, counts array<long>, offset long, weight long"
+        f"{_gschema(base, gcols)}, items array<string>, counts array<long>, offset long, weight long"
     )
 
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sk: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                s = sk.setdefault(key, MisraGries(max_map_size))
-                s.update_batch(sub["__it"].to_numpy(), sub["__w"].to_numpy())
-        rows = []
-        for key, s in sk.items():
-            items, counts, off, wt = s.to_rows()
-            rows.append((*key, items, counts, off, wt))
-        yield pd.DataFrame(rows, columns=[*gcols, "items", "counts", "offset", "weight"])
-
-    part = base.mapInPandas(partials, part_schema)
-
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        s = MisraGries(max_map_size)
-        for items, counts, off, wt in zip(
-            pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]
-        ):
-            s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
-        items, counts, off, wt = s.to_rows()
+        items, counts, off, wt = _merged_mg(pdf, max_map_size).to_rows()
         return pd.DataFrame(
             [(*key, items, counts, off, wt)],
             columns=[*gcols, "items", "counts", "offset", "weight"],
@@ -256,29 +253,29 @@ def frequent_items_merge_agg(
     ``frequent_items_sketch_agg``."""
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, "items", "counts", "offset", "weight")
-    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
-    out_schema = f"{gschema}, item string, count_lb long, count_ub long"
+    out_schema = f"{_gschema(base, gcols)}, item string, count_lb long, count_ub long"
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        s = MisraGries(max_map_size)
-        for items, counts, off, wt in zip(
-            pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]
-        ):
-            s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
-        thr = threshold_weight if threshold_weight is not None else s.maximum_error()
-        ub = s.counts + s.offset
-        keep = (ub >= thr) if no_false_negatives else (s.counts >= thr)
-        return pd.DataFrame(
-            {
-                **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},
-                "item": s.items[keep],
-                "count_lb": s.counts[keep],
-                "count_ub": ub[keep],
-            }
-        )
+        s = _merged_mg(pdf, max_map_size)
+        return _threshold_rows(s, gcols, key, threshold_weight, no_false_negatives)
 
     out = base.groupBy(*gcols).applyInPandas(final, out_schema)
     return out.drop(_GRP) if not group_cols else out
+
+
+def _threshold_rows(s, gcols, key, threshold_weight, no_false_negatives) -> pd.DataFrame:
+    """Threshold query over a merged MG state (frequencies/sketch.rs:394-430)."""
+    thr = threshold_weight if threshold_weight is not None else s.maximum_error()
+    ub = s.counts + s.offset
+    keep = (ub >= thr) if no_false_negatives else (s.counts >= thr)
+    return pd.DataFrame(
+        {
+            **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},
+            "item": s.items[keep],
+            "count_lb": s.counts[keep],
+            "count_ub": ub[keep],
+        }
+    )
 
 
 def frequent_items_agg(
@@ -304,44 +301,12 @@ def frequent_items_agg(
     df, gcols = _with_group(df, group_cols)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
-    gschema = ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
-    part_schema = (
-        f"{gschema}, items array<string>, counts array<long>, offset long, weight long"
-    )
-
-    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        sk: dict = {}
-        for pdf in batches:
-            for key, sub in pdf.groupby(gcols, sort=False):
-                key = key if isinstance(key, tuple) else (key,)
-                s = sk.setdefault(key, MisraGries(max_map_size))
-                s.update_batch(sub["__it"].to_numpy(), sub["__w"].to_numpy())
-        rows = []
-        for key, s in sk.items():
-            items, counts, off, wt = s.to_rows()
-            rows.append((*key, items, counts, off, wt))
-        yield pd.DataFrame(rows, columns=[*gcols, "items", "counts", "offset", "weight"])
-
-    part = base.mapInPandas(partials, part_schema)
-    out_schema = f"{gschema}, item string, count_lb long, count_ub long"
+    part = _mg_partials(base, gcols, max_map_size)
+    out_schema = f"{_gschema(base, gcols)}, item string, count_lb long, count_ub long"
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        s = MisraGries(max_map_size)
-        for items, counts, off, wt in zip(
-            pdf["items"], pdf["counts"], pdf["offset"], pdf["weight"]
-        ):
-            s.merge(MisraGries.from_rows(max_map_size, items, counts, off, wt))
-        thr = threshold_weight if threshold_weight is not None else s.maximum_error()
-        ub = s.counts + s.offset
-        keep = (ub >= thr) if no_false_negatives else (s.counts >= thr)
-        return pd.DataFrame(
-            {
-                **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},
-                "item": s.items[keep],
-                "count_lb": s.counts[keep],
-                "count_ub": ub[keep],
-            }
-        )
+        s = _merged_mg(pdf, max_map_size)
+        return _threshold_rows(s, gcols, key, threshold_weight, no_false_negatives)
 
     out = part.groupBy(*gcols).applyInPandas(final, out_schema)
     return out.drop(_GRP) if not group_cols else out
