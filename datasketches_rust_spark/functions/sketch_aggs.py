@@ -48,9 +48,13 @@ def _gschema(base: DataFrame, gcols: list[str]) -> str:
     return ", ".join(f"{c} {base.schema[c].dataType.simpleString()}" for c in gcols)
 
 
-def _tdigest_partials(base: DataFrame, gcols: list[str], delta: float) -> DataFrame:
+def _tdigest_partials(
+    base: DataFrame, gcols: list[str], delta: float
+) -> tuple[DataFrame, str]:
     """Per-input-partition digests: (group..., means, weights) rows —
-    the shared partial stage of tdigest_agg / tdigest_sketch_agg."""
+    the shared partial stage of tdigest_agg / tdigest_sketch_agg.
+    Returns (partials_df, row_schema) so callers never restate the
+    stored-digest schema string."""
     part_schema = f"{_gschema(base, gcols)}, means array<double>, weights array<double>"
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -66,7 +70,7 @@ def _tdigest_partials(base: DataFrame, gcols: list[str], delta: float) -> DataFr
             rows.append((*key, m, w))
         yield pd.DataFrame(rows, columns=[*gcols, "means", "weights"])
 
-    return base.mapInPandas(partials, part_schema)
+    return base.mapInPandas(partials, part_schema), part_schema
 
 
 def _merged_tdigest(pdf: pd.DataFrame, delta: float, m_col: str = "means", w_col: str = "weights") -> TDigest:
@@ -83,9 +87,12 @@ def _merged_tdigest(pdf: pd.DataFrame, delta: float, m_col: str = "means", w_col
     )
 
 
-def _mg_partials(base: DataFrame, gcols: list[str], max_map_size: int) -> DataFrame:
+def _mg_partials(
+    base: DataFrame, gcols: list[str], max_map_size: int
+) -> tuple[DataFrame, str]:
     """Per-input-partition Misra-Gries states — the shared partial stage
-    of frequent_items_agg / frequent_items_sketch_agg."""
+    of frequent_items_agg / frequent_items_sketch_agg. Returns
+    (partials_df, row_schema)."""
     part_schema = (
         f"{_gschema(base, gcols)}, items array<string>, counts array<long>, offset long, weight long"
     )
@@ -103,7 +110,7 @@ def _mg_partials(base: DataFrame, gcols: list[str], max_map_size: int) -> DataFr
             rows.append((*key, items, counts, off, wt))
         yield pd.DataFrame(rows, columns=[*gcols, "items", "counts", "offset", "weight"])
 
-    return base.mapInPandas(partials, part_schema)
+    return base.mapInPandas(partials, part_schema), part_schema
 
 
 def _merged_mg(pdf: pd.DataFrame, max_map_size: int) -> MisraGries:
@@ -138,7 +145,7 @@ def tdigest_agg(
         raise ValueError(f"duplicate quantile column names: {col_names}")
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
-    part = _tdigest_partials(base, gcols, delta)
+    part, _ = _tdigest_partials(base, gcols, delta)
     out_schema = _gschema(base, gcols) + ", " + ", ".join(f"{c} double" for c in col_names)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -164,8 +171,7 @@ def tdigest_sketch_agg(
     """
     df, gcols = _with_group(df, group_cols)
     base = df.select(*gcols, F.col(value_col).cast("double").alias("__v"))
-    part = _tdigest_partials(base, gcols, delta)
-    part_schema = f"{_gschema(base, gcols)}, means array<double>, weights array<double>"
+    part, part_schema = _tdigest_partials(base, gcols, delta)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         m, w = _merged_tdigest(pdf, delta).to_rows()
@@ -223,10 +229,7 @@ def frequent_items_sketch_agg(
     df, gcols = _with_group(df, group_cols)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
-    part = _mg_partials(base, gcols, max_map_size)
-    part_schema = (
-        f"{_gschema(base, gcols)}, items array<string>, counts array<long>, offset long, weight long"
-    )
+    part, part_schema = _mg_partials(base, gcols, max_map_size)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         items, counts, off, wt = _merged_mg(pdf, max_map_size).to_rows()
@@ -301,7 +304,7 @@ def frequent_items_agg(
     df, gcols = _with_group(df, group_cols)
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
-    part = _mg_partials(base, gcols, max_map_size)
+    part, _ = _mg_partials(base, gcols, max_map_size)
     out_schema = f"{_gschema(base, gcols)}, item string, count_lb long, count_ub long"
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:

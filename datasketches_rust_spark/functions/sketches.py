@@ -31,14 +31,21 @@ from pyspark.sql import Column, DataFrame, functions as F
 _CM_MAX_HASHES = 127
 
 
+_CM_MAX_BUCKETS = (1 << 32) - 1  # u32::MAX — the reference's saturating cast
+
+
 def countmin_suggest_num_buckets(relative_error: float) -> int:
     """Buckets needed for a target relative error: ceil(e / epsilon)
-    (countmin/sketch.rs:135-139; epsilon = e/num_buckets per :121-123)."""
+    (countmin/sketch.rs:135-139; epsilon = e/num_buckets per :121-123).
+    relative_error == 0 saturates to u32::MAX exactly as the reference's
+    `(E / 0.0).ceil() as u32` does."""
     import math
 
     if relative_error < 0.0:
         raise ValueError("relative_error must be at least 0")
-    return int(math.ceil(math.e / relative_error))
+    if relative_error == 0.0:
+        return _CM_MAX_BUCKETS
+    return int(min(math.ceil(math.e / relative_error), _CM_MAX_BUCKETS))
 
 
 def countmin_suggest_num_hashes(confidence: float) -> int:
@@ -57,6 +64,8 @@ def countmin_relative_error(width: int) -> float:
     """epsilon implied by a bucket count (countmin/sketch.rs:121-123)."""
     import math
 
+    if width <= 0:
+        raise ValueError("width must be greater than 0")
     return math.e / width
 
 

@@ -235,25 +235,18 @@ def theta_merge_agg(
         ).alias("__m0"),
     )
     scr = F.filter(F.col("__m0"), lambda x: x < F.col("__theta"))
-    over = F.size(scr) > k
-    theta = F.when(over, F.element_at(scr, k + 1)).otherwise(F.col("__theta"))
-    kmv = F.when(over, F.slice(scr, 1, k)).otherwise(scr)
     return merged.select(
         *group_cols,
-        F.struct(
-            kmv.alias("kmv"),
-            theta.cast("long").alias("theta"),
-            F.size(kmv).cast("int").alias("retained"),
-        ).alias("sketch"),
+        _pack_sketch(scr, k, F.col("__theta")).alias("sketch"),
     )
 
 
-def _pack_sketch(m: Column, k: int, init_theta: int = MAX_THETA63) -> Column:
-    """(k+1)-truncated sorted hash array → sketch struct."""
+def _pack_sketch(m: Column, k: int, init_theta: int | Column = MAX_THETA63) -> Column:
+    """(k+1)-truncated sorted hash array → sketch struct. ``init_theta``
+    may be a per-row Column (the merge aggregate's group min-theta)."""
+    init = init_theta if isinstance(init_theta, Column) else F.lit(init_theta)
     over = F.size(m) > k
-    theta = F.when(over, F.least(F.element_at(m, k + 1), F.lit(init_theta))).otherwise(
-        F.lit(init_theta)
-    )
+    theta = F.when(over, F.least(F.element_at(m, k + 1), init)).otherwise(init)
     kmv = F.when(over, F.slice(m, 1, k)).otherwise(m)
     return F.struct(
         kmv.alias("kmv"),

@@ -75,7 +75,13 @@ def jaccard_batch(
 def verify_pairs(
     candidates: DataFrame, reps: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """candidates(sha_a, sha_b) → (sha_a, sha_b, jaccard_est, accepted)."""
+    """candidates(sha_a, sha_b) → (sha_a, sha_b, jaccard_est, accepted).
+
+    ``candidates`` is consumed three times when the semi-join pushdown is
+    on (the cand-sha set plus both pair joins) — pass a materialized
+    relation (the pipeline checkpoints its candidates stage); an
+    unmaterialized band-join chain would be replayed per consumer.
+    """
     sigs = reps.select("content_sha", "minhash_kmv", "theta64", "n_shingles")
     # semi-join pushdown: the pair joins shuffle the kmv payload on BOTH
     # sides, but only shas that actually occur in a candidate pair are

@@ -85,11 +85,13 @@ def main(corpus_path: str, cpus: int) -> None:
         sigs = timed("signatures", compute_signatures(corpus, cfg))
         ids = timed("ids", sigs.select("file_id", "content_sha"))
         keys = timed("rep_keys", exact_rep_keys(ids))
+        t = time.monotonic()
         payload = (
             sigs.dropDuplicates(["content_sha", "file_id"])
             if has_duplicate_id_rows(ids)
             else sigs
         )
+        stage_walls["dup_probe"] = round(time.monotonic() - t, 2)
         # the broadcast payload attach is a zero-exchange scan, so its cost
         # lands inside the consumer stages' walls (candidates/verify)
         cands = timed(

@@ -300,3 +300,7 @@ def test_countmin_accuracy_builders():
         countmin_suggest_num_buckets(-0.1)
     with pytest.raises(ValueError):
         countmin_suggest_num_hashes(1.5)
+    # zero error saturates like the reference's (E/0.0).ceil() as u32
+    assert countmin_suggest_num_buckets(0.0) == (1 << 32) - 1
+    with pytest.raises(ValueError):
+        countmin_relative_error(0)
