@@ -22,9 +22,9 @@ from datasketches_rust_spark.config import PipelineConfig
 from datasketches_rust_spark.functions.sketches import (
     bloom_build,
     bloom_might_contain,
-    countmin_build,
     countmin_estimate,
     countmin_relative_error,
+    countmin_sketch,
     countmin_with_accuracy,
     frequent_items,
     hll_distinct,
@@ -291,11 +291,13 @@ def _q_countmin(spark, sf):
     # accuracy-first config (countmin/sketch.rs:135-155): 95% confidence →
     # ceil(ln 20) = 3 rows; width from the error 2048 buckets imply
     # (e/2048) — the roundtrip keeps the sketch identical to the previous
-    # hand-picked (3, 2048) while deriving it from target bounds.
+    # hand-picked (3, 2048) while deriving it from target bounds. The
+    # config-carrying CountMinDF supplies (num_hashes, width) to the probe
+    # itself, so build and estimate can never disagree on bucket indexing.
     num_hashes, width = countmin_with_accuracy(countmin_relative_error(2048), 0.95)
-    sketch = countmin_build(ev, "event_type", num_hashes=num_hashes, width=width)
+    sketch = countmin_sketch(ev, "event_type", num_hashes=num_hashes, width=width)
     items = ev.select("event_type").distinct()
-    return countmin_estimate(sketch, items, "event_type", num_hashes=num_hashes, width=width)
+    return countmin_estimate(sketch, items, "event_type")
 
 
 def _q_tdigest_quantiles(spark, sf):
@@ -386,8 +388,9 @@ def _q_frequent_sketch(spark, sf):
 
     # exact mode: max_map_size >= distinct items => Misra-Gries never
     # purges, offset stays 0, count_lb == count_ub == exact count
-    # (frequencies/sketch.rs:96-132) — so the threshold query is plain
-    # HAVING count(*) >= thr and the oracle is exact. Estimation-mode
+    # (frequencies/sketch.rs:96-132) — so the reference's threshold query
+    # (clamped threshold, STRICT bound > thr; sketch.rs:421-436) is plain
+    # HAVING count(*) > thr and the oracle is exact. Estimation-mode
     # (purging) behavior is pinned by tests/test_sketches.py.
     return frequent_items_agg(
         _t(spark, sf, "events"), [], "event_type", max_map_size=64, threshold_weight=50
@@ -500,12 +503,13 @@ def oracle_sql() -> dict[str, str]:
     # exhaustive operator, so they share its oracle.
     o["ann_topk_lsh"] = o["ann_topk"]
     o["embedding_dup_pairs_lsh"] = o["embedding_cosine_pairs"]
-    # exact-mode Misra-Gries: never purges at 5 distinct items << 64 slots
+    # exact-mode Misra-Gries: never purges at 5 distinct items << 64 slots;
+    # strict > mirrors the reference's threshold inequality (sketch.rs:434)
     o["frequent_items_sketch"] = """
 SELECT event_type AS item,
        CAST(count(*) AS BIGINT) AS count_lb,
        CAST(count(*) AS BIGINT) AS count_ub
-FROM events GROUP BY 1 HAVING count(*) >= 50
+FROM events GROUP BY 1 HAVING count(*) > 50
 """
     return o
 

@@ -40,9 +40,16 @@ class PipelineConfig:
     # broadcasts the narrow (content_sha, rep_file_id) key set into the
     # signature scan so the 2KB kmv/band payload never crosses an
     # exchange; False falls back to a materialized shuffle-hash reps
-    # stage for jobs whose distinct-content count exceeds broadcast
-    # capacity (~50M keys; see operators/lsh.py rep_payload)
-    broadcast_rep_payload: bool = True
+    # stage. None (default) = AUTO: the pipeline decides from the actual
+    # rep-key count after the rep_keys stage materializes — broadcast iff
+    # n_keys <= broadcast_key_limit — so a job approaching driver
+    # capacity degrades to the shuffle path instead of OOMing on a knob
+    # nobody flipped (round-4 ADVICE #3).
+    broadcast_rep_payload: bool | None = None
+    # auto-mode ceiling for the broadcast key set: ~100 B/row, so 15M keys
+    # ≈ 1.5 GB — comfortable under an 8g driver and Spark's 8 GB
+    # broadcast-table cap with room for the collect + block copies
+    broadcast_key_limit: int = 15_000_000
 
     @property
     def num_perm(self) -> int:

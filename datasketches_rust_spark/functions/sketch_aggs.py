@@ -88,13 +88,16 @@ def _merged_tdigest(pdf: pd.DataFrame, delta: float, m_col: str = "means", w_col
 
 
 def _mg_partials(
-    base: DataFrame, gcols: list[str], max_map_size: int
+    base: DataFrame, gcols: list[str], max_map_size: int, item_t: str
 ) -> tuple[DataFrame, str]:
     """Per-input-partition Misra-Gries states — the shared partial stage
-    of frequent_items_agg / frequent_items_sketch_agg. Returns
+    of frequent_items_agg / frequent_items_sketch_agg. ``item_t`` is the
+    item column's NATIVE Spark type (carried through the partial schema —
+    the reference sketch is generic over T, frequencies/sketch.rs:96, so
+    long/binary items round-trip without a lossy string cast). Returns
     (partials_df, row_schema)."""
     part_schema = (
-        f"{_gschema(base, gcols)}, items array<string>, counts array<long>, offset long, weight long"
+        f"{_gschema(base, gcols)}, items array<{item_t}>, counts array<long>, offset long, weight long"
     )
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -225,11 +228,14 @@ def frequent_items_sketch_agg(
     """(group..., items, counts, offset, weight) — ONE stored Misra-Gries
     sketch per group (FrequentItemsSketch serialized state), the storable
     counterpart of ``frequent_items_agg``; re-aggregate later with
-    ``frequent_items_merge_agg``."""
+    ``frequent_items_merge_agg``. The stored ``items`` array keeps the
+    item column's native type (long items stay long, binary stays
+    binary)."""
     df, gcols = _with_group(df, group_cols)
+    item_t = df.schema[item_col].dataType.simpleString()
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
-    part, part_schema = _mg_partials(base, gcols, max_map_size)
+    base = df.select(*gcols, F.col(item_col).alias("__it"), w.alias("__w"))
+    part, part_schema = _mg_partials(base, gcols, max_map_size, item_t)
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         items, counts, off, wt = _merged_mg(pdf, max_map_size).to_rows()
@@ -253,10 +259,12 @@ def frequent_items_merge_agg(
     count addition + offset addition (frequencies/sketch.rs:358-371) —
     and run the threshold query under the chosen error type. Input rows
     carry (items, counts, offset, weight) columns as produced by
-    ``frequent_items_sketch_agg``."""
+    ``frequent_items_sketch_agg``; the output ``item`` column keeps the
+    stored items' native element type."""
     df, gcols = _with_group(df, group_cols)
+    item_t = df.schema["items"].dataType.elementType.simpleString()
     base = df.select(*gcols, "items", "counts", "offset", "weight")
-    out_schema = f"{_gschema(base, gcols)}, item string, count_lb long, count_ub long"
+    out_schema = f"{_gschema(base, gcols)}, item {item_t}, count_lb long, count_ub long"
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         s = _merged_mg(pdf, max_map_size)
@@ -267,10 +275,13 @@ def frequent_items_merge_agg(
 
 
 def _threshold_rows(s, gcols, key, threshold_weight, no_false_negatives) -> pd.DataFrame:
-    """Threshold query over a merged MG state (frequencies/sketch.rs:394-430)."""
-    thr = threshold_weight if threshold_weight is not None else s.maximum_error()
+    """Threshold query over a merged MG state (frequencies/sketch.rs:
+    421-436): threshold clamped to max(threshold, offset), then STRICT
+    upper_bound > t (NoFalseNegatives) / lower_bound > t
+    (NoFalsePositives), matching the reference's inequalities exactly."""
+    thr = max(threshold_weight, s.maximum_error()) if threshold_weight is not None else s.maximum_error()
     ub = s.counts + s.offset
-    keep = (ub >= thr) if no_false_negatives else (s.counts >= thr)
+    keep = (ub > thr) if no_false_negatives else (s.counts > thr)
     return pd.DataFrame(
         {
             **{c: [k] * int(keep.sum()) for c, k in zip(gcols, key)},
@@ -293,19 +304,22 @@ def frequent_items_agg(
     """Heavy hitters per group via distributed Misra-Gries.
 
     Output rows: (group..., item, count_lb, count_ub) for items passing the
-    threshold under the chosen error type (frequencies/sketch.rs:394-430):
-    ``no_false_negatives=True`` keeps items whose UPPER bound >= threshold
-    (every true heavy hitter reported, some light items may slip in);
-    ``False`` is ErrorType::NoFalsePositives — LOWER bound >= threshold, so
-    every reported item is guaranteed heavy, some true hitters may be
-    missed. In exact mode (no purges, offset 0) the two coincide.
-    Threshold defaults to the sketch's maximum_error (= offset).
+    threshold under the chosen error type (frequencies/sketch.rs:421-436):
+    the threshold is clamped to max(threshold, offset), then
+    ``no_false_negatives=True`` keeps items whose UPPER bound is STRICTLY
+    > threshold (every true heavy hitter reported, some light items may
+    slip in); ``False`` is ErrorType::NoFalsePositives — LOWER bound >
+    threshold, so every reported item is guaranteed heavy, some true
+    hitters may be missed. In exact mode (no purges, offset 0) the two
+    coincide. Threshold defaults to the sketch's maximum_error (= offset).
+    The ``item`` column keeps the input column's native type.
     """
     df, gcols = _with_group(df, group_cols)
+    item_t = df.schema[item_col].dataType.simpleString()
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
-    base = df.select(*gcols, F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
-    part, _ = _mg_partials(base, gcols, max_map_size)
-    out_schema = f"{_gschema(base, gcols)}, item string, count_lb long, count_ub long"
+    base = df.select(*gcols, F.col(item_col).alias("__it"), w.alias("__w"))
+    part, _ = _mg_partials(base, gcols, max_map_size, item_t)
+    out_schema = f"{_gschema(base, gcols)}, item {item_t}, count_lb long, count_ub long"
 
     def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
         s = _merged_mg(pdf, max_map_size)

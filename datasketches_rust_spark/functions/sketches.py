@@ -95,27 +95,80 @@ def countmin_build(
     return ex.groupBy("row", "bucket").agg(F.sum("__w").alias("cnt"))
 
 
-def countmin_merge(*sketches: DataFrame) -> DataFrame:
-    """Merge N Count-Min counter tables built with the SAME (num_hashes,
-    width) config — elementwise counter addition (countmin/sketch.rs:
-    254-267) is exactly a grouped sum over the (row, bucket) key. The
-    config-compatibility contract is the caller's (the reference's merge
-    errors on mismatched dimensions; a DataFrame carries no config, so
-    pair this with one shared config constant per sketch family)."""
+class CountMinDF(NamedTuple):
+    """A Count-Min sketch whose d×w counter matrix is a (row, bucket, cnt)
+    DataFrame, carrying its (num_hashes, width) config so merge can
+    enforce the reference's dimension-compatibility check
+    (countmin/sketch.rs:254-267: merging mismatched (d, w) is an error —
+    the bucket indexing is config-dependent, so a silent merge would
+    produce wrong counts). The Count-Min analog of ``BloomFilterDF``."""
+
+    table: DataFrame
+    num_hashes: int
+    width: int
+
+
+def countmin_sketch(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    num_hashes: int = 3,
+    width: int = 2048,
+) -> CountMinDF:
+    """Build a config-carrying Count-Min sketch from a column."""
+    return CountMinDF(
+        countmin_build(df, item_col, weight_col, num_hashes, width), num_hashes, width
+    )
+
+
+def _countmin_check_compatible(a: CountMinDF, b: CountMinDF) -> None:
+    """Equal (num_hashes, width), as countmin/sketch.rs:254-267 requires."""
+    if (a.num_hashes, a.width) != (b.num_hashes, b.width):
+        raise ValueError(
+            f"incompatible count-min sketches: {(a.num_hashes, a.width)} "
+            f"vs {(b.num_hashes, b.width)}"
+        )
+
+
+def countmin_merge(*sketches: DataFrame | CountMinDF) -> DataFrame | CountMinDF:
+    """Merge N Count-Min sketches — elementwise counter addition
+    (countmin/sketch.rs:254-267) is exactly a grouped sum over the
+    (row, bucket) key.
+
+    With ``CountMinDF`` inputs (preferred) the reference's dimension check
+    is ENFORCED: mismatched (num_hashes, width) raises, and the result is
+    a ``CountMinDF`` carrying the shared config. Raw-DataFrame inputs are
+    accepted for callers managing one shared config constant per family,
+    with the compatibility contract on them (a bare DataFrame carries no
+    config to check)."""
     from functools import reduce
 
+    if any(isinstance(s, CountMinDF) for s in sketches):
+        if not all(isinstance(s, CountMinDF) for s in sketches):
+            raise TypeError("cannot mix CountMinDF and raw-DataFrame count-min sketches")
+        for s in sketches[1:]:
+            _countmin_check_compatible(sketches[0], s)
+        merged = reduce(lambda a, b: a.unionByName(b), (s.table for s in sketches))
+        return sketches[0]._replace(
+            table=merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+        )
     merged = reduce(lambda a, b: a.unionByName(b), sketches)
     return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def countmin_estimate(
-    sketch: DataFrame,
+    sketch: "DataFrame | CountMinDF",
     items: DataFrame,
     item_col: str,
     num_hashes: int = 3,
     width: int = 2048,
 ) -> DataFrame:
-    """Point queries: est = min over rows of the bucket counters."""
+    """Point queries: est = min over rows of the bucket counters.
+    A ``CountMinDF`` input supplies its own (num_hashes, width) — the
+    explicit parameters are ignored, so probe and build can never use
+    different bucket indexing."""
+    if isinstance(sketch, CountMinDF):
+        sketch, num_hashes, width = sketch.table, sketch.num_hashes, sketch.width
     item = F.col(item_col)
     idx = F.array([_cm_bucket(item, r, width) for r in range(num_hashes)])
     ex = items.select(item, F.posexplode(idx).alias("row", "bucket"))
@@ -248,18 +301,33 @@ def bloom_bits_used(f: BloomFilterDF) -> int:
     return f.bits.count()
 
 
+_BLOOM_MAX_BROADCAST_BITS = 1 << 25  # ~33M worst-case set-bit rows ≈ 1 GB
+
+
 def bloom_might_contain(
     probe: DataFrame,
     col: str,
     bits: DataFrame,
     num_bits: int = 1 << 22,
     num_hashes: int = 5,
+    max_broadcast_bits: int = _BLOOM_MAX_BROADCAST_BITS,
 ) -> DataFrame:
-    """probe + boolean ``might_contain``: all k positions set."""
+    """probe + boolean ``might_contain``: all k positions set.
+
+    The set-bit relation broadcasts only while its worst-case cardinality
+    (``num_bits`` — set bits can never exceed the universe) stays under
+    ``max_broadcast_bits``; beyond that the probe joins by shuffle on
+    ``bit`` instead of forcing an over-capacity broadcast onto the driver
+    (an unconditional broadcast is exactly the static-knob OOM the
+    rep-payload path removed — round-4 VERDICT ask #6). AQE may still
+    re-plan the shuffle to a runtime broadcast when the *actual* bit set
+    turns out tiny — that's the right dynamic decision, made on the real
+    size instead of the capacity bound."""
     pos = _bloom_positions(F.col(col), num_bits, num_hashes)
     ex = probe.select("*", F.posexplode(pos).alias("__i", "bit"))
+    b = bits.withColumn("__hit", F.lit(1))
     marked = ex.join(
-        F.broadcast(bits.withColumn("__hit", F.lit(1))), "bit", "left"
+        F.broadcast(b) if num_bits <= max_broadcast_bits else b, "bit", "left"
     )
     # count("*") (all exploded positions), not lit(num_hashes): duplicate
     # probe rows collapse into one group with a multiple of k positions, and
@@ -275,7 +343,12 @@ def bloom_might_contain(
 def frequent_items(
     df: DataFrame, item_col: str, threshold: int
 ) -> DataFrame:
-    """Heavy hitters with count >= threshold (exact-mode Misra-Gries)."""
+    """Heavy hitters with count >= threshold (exact-mode Misra-Gries).
+
+    Deliberately the SQL ``HAVING count(*) >= t`` convention — this is the
+    exact-count helper, not the sketch threshold query; the reference's
+    clamped strict-``>`` semantics (frequencies/sketch.rs:421-436) live in
+    the MG aggregates (functions/sketch_aggs.py) and sigkit.frequencies."""
     return (
         df.groupBy(item_col)
         .agg(F.count("*").alias("cnt"))

@@ -208,6 +208,21 @@ def theta_merge_agg(
     too, and if all kept entries pass, the shard already contributes its
     full k+1 — either way the k smallest surviving hashes are identical
     to screen-then-truncate (the ThetaUnion order, common/union.rs:130-135).
+
+    Empty-sketch semantics (deliberate, differs from the reference in one
+    corner): the group min-theta is taken over ALL input sketches,
+    including retained==0 rows, whereas ``UnionState::update`` skips
+    sketches whose ``is_empty`` flag is set. This engine carries no empty
+    flag — retained==0 ∧ theta==MAX is the never-updated proxy
+    (``_never_updated``), and since theta==MAX is the min-identity those
+    rows can't move the result. A retained==0 row with theta < MAX is
+    therefore interpreted as *updated-but-sampled-to-empty* (a sampling
+    sketch, p<1, that screened out everything it saw): such a sketch DID
+    observe its stream under theta=p·MAX, so its theta legitimately
+    bounds the union's — the same information-preserving choice the
+    reference makes for updated non-empty sampling sketches. If an
+    explicit empty flag is ever added to the struct, exclude flagged
+    rows from the min to match union.rs exactly.
     """
     s = F.col(sketch_col)
     ex = df.select(

@@ -132,6 +132,11 @@ def tuple_merge_agg(
     screen-then-combine-then-truncate order of the reference union.
     Empty sketches contribute their theta through the thetas aggregate,
     and all-empty groups are restored by the final (tiny) left join.
+    As in ``theta_merge_agg`` (see its docstring for the full argument),
+    the min-theta runs over ALL rows including retained==0: never-updated
+    sketches carry theta==MAX (the min identity, no effect), while a
+    retained==0, theta<MAX row is read as updated-but-sampled-to-empty
+    and legitimately bounds the union theta.
 
     ``df`` is consumed three times (thetas, entries, the group-restore
     join): pass a materialized relation — a stored sketch table, cache,

@@ -23,7 +23,6 @@ from __future__ import annotations
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from pyspark.sql import DataFrame, functions as F
 
@@ -100,17 +99,37 @@ def _bloom_hit(bitmap: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
     return (b1 & b2).astype(bool)
 
 
+def _prefix_rows(base: DataFrame, text_col: str, window: int) -> DataFrame:
+    """The prefilter's input: substring(text, 1, window) projected at the
+    input's NATURAL scan parallelism, then ``repartition(8)`` of the
+    resulting ~window-byte rows so at most 8 bitmaps ship driver-side.
+
+    The repartition sits ABOVE the projection on purpose: every executor
+    reads and decodes its own split of the text column, and only the
+    narrow prefix rows cross the (round-robin) exchange. A ``coalesce(8)``
+    here would propagate INTO the file scan and serialize the whole
+    corpus read through 8 tasks regardless of cluster size (round-4
+    VERDICT finding #1) — Parquet must materialize each full text value
+    before the substring projection, so scan parallelism is what bounds
+    the prefilter's setup wall at 100x data.
+    """
+    return base.select(
+        F.substring(F.col(text_col), 1, window).alias("__t")
+    ).repartition(8)
+
+
 def _prefix_bloom_bitmap(
     base: DataFrame, id_col: str, text_col: str, window: int, m: int
 ) -> bytes:
     """OR-reduced bitmap of every doc's prefix hash.
 
     The prefix hash needs only the first ``window`` bytes of each doc, so
-    this pass scans substring(text, 1, window) — O(n_docs * window) bytes,
-    not the corpus. Per-partition bitmaps (m/8 bytes) are OR-reduced
-    driver-side; the prefix rows are coalesced so at most 8 bitmaps ship.
+    this pass scans substring(text, 1, window) — O(n_docs * window) bytes
+    of exchange + kernel input, not the corpus (see ``_prefix_rows`` for
+    the scan-parallelism contract). Per-partition bitmaps (m/8 bytes) are
+    OR-reduced driver-side.
     """
-    pre = base.select(F.substring(F.col(text_col), 1, window).alias("__t")).coalesce(8)
+    pre = _prefix_rows(base, text_col, window)
 
     def bitmaps(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         bm = np.zeros(m // 8, dtype=np.uint8)
@@ -290,30 +309,40 @@ def duplicated_spans(
     is high-resolution *partial*-duplication detection (license blocks,
     vendored code, copy-pasted functions) within a partition — co-locate
     related docs (e.g. repartition by repo/lang) to aim it.
+
+    Buffer path: the UTF-8 bytes go straight from the Arrow data buffer
+    into the sentinel-concatenated suffix-array input
+    (``shared_spans_buf``) — no per-doc ``str.encode`` (the engine's last
+    one lived here until round 5).
     """
-    from ..sigkit.suffix_array import shared_spans
+    from ..sigkit.suffix_array import shared_spans_buf
 
     base = docs.select(F.col(id_col), F.col(text_col))
     if partitions:
         base = base.repartition(partitions)
     id_t = base.schema[0].dataType.simpleString()
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            if not rb.num_rows:
                 continue
-            texts = [str(t).encode("utf-8") for t in pdf[text_col]]
-            spans = shared_spans(texts, min_len)
-            ids = pdf[id_col].to_numpy()
-            yield pd.DataFrame(
-                {
-                    "id_a": ids[spans[:, 0]],
-                    "id_b": ids[spans[:, 1]],
-                    "span_len": spans[:, 2],
-                }
+            ids = rb.column(rb.schema.get_field_index(id_col))
+            buf, offs = _arrow_string_to_buf(
+                rb.column(rb.schema.get_field_index(text_col))
+            )
+            spans = shared_spans_buf(buf, offs, min_len)
+            if not len(spans):
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(spans[:, 0])),
+                    ids.take(pa.array(spans[:, 1])),
+                    pa.array(spans[:, 2]),
+                ],
+                ["id_a", "id_b", "span_len"],
             )
 
-    out = base.mapInPandas(run, f"id_a {id_t}, id_b {id_t}, span_len long")
+    out = base.mapInArrow(run, f"id_a {id_t}, id_b {id_t}, span_len long")
     return out.groupBy(
         F.least("id_a", "id_b").alias(f"{id_col}_a"),
         F.greatest("id_a", "id_b").alias(f"{id_col}_b"),

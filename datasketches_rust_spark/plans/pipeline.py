@@ -32,6 +32,7 @@ from ..operators.lsh import (
     rep_payload,
 )
 from ..operators.signatures import compute_signatures
+from ..operators.substring import containment_pairs
 from ..operators.verify import verify_pairs
 
 
@@ -114,15 +115,22 @@ class DedupPipeline:
         Returns (sigs, ids, rep_map, verified, fp4) where rep_map is the
         narrow (content_sha, rep_file_id) relation.
 
-        Broadcast path (cfg.broadcast_rep_payload, default): only the
-        NARROW rep-key table is materialized; consumers re-attach the
-        payload columns they need (candidates: bands; verify: kmv/theta/
-        n_shingles) by broadcasting the key set into the already-
-        materialized signature scan — the ~2KB-wide rows are scanned in
-        place and never re-shuffled or re-materialized (round-3's reps
-        exchange, the pipeline's one bus-bound stage, is gone). Fallback
-        path: the classic materialized wide reps stage, for jobs whose
-        key set exceeds broadcast capacity.
+        Broadcast path (the common case): only the NARROW rep-key table
+        is materialized; consumers re-attach the payload columns they
+        need (candidates: bands; verify: kmv/theta/n_shingles) by
+        broadcasting the key set into the already-materialized signature
+        scan — the ~2KB-wide rows are scanned in place and never
+        re-shuffled or re-materialized (round-3's reps exchange, the
+        pipeline's one bus-bound stage, is gone). Fallback path: the
+        classic materialized wide reps stage, for jobs whose key set
+        exceeds broadcast capacity.
+
+        cfg.broadcast_rep_payload=None (default) resolves AUTOMATICALLY
+        from the measured rep-key count (<= cfg.broadcast_key_limit →
+        broadcast): the count comes from the rep_keys stage's own
+        materialization (checkpoint metrics, or one narrow job over the
+        ~60 B/row cached blocks), so no extra corpus scan — and no static
+        knob to forget as a job grows toward driver capacity.
         """
         # signatures feed several consumers (rep keys, payload attach, the
         # final file_id→cluster map) — materialize once so the kernel runs
@@ -137,8 +145,11 @@ class DedupPipeline:
         # all narrow consumers, and a row-cached wide table gives them no
         # column pruning — this 60B/row table does
         ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
-        if self.cfg.broadcast_rep_payload:
-            keys, fp2 = self._stage("rep_keys", fp1, lambda: exact_rep_keys(ids))
+        keys, fp2 = self._stage("rep_keys", fp1, lambda: exact_rep_keys(ids))
+        broadcast = self.cfg.broadcast_rep_payload
+        if broadcast is None:
+            broadcast = self._stage_rows("rep_keys", keys) <= self.cfg.broadcast_key_limit
+        if broadcast:
             # duplicate-(sha,fid) probe: lazy so checkpoint resume skips
             # it; at most one narrow job, only when a stage computes
             memo: dict = {}
@@ -166,19 +177,28 @@ class DedupPipeline:
                     self.cfg,
                 ),
             )
-            rep_map = keys.select("content_sha", "rep_file_id")
         else:
-            reps, fp2 = self._stage(
-                "reps", fp1, lambda: exact_representatives(sigs, ids, broadcast=False)
+            reps, fp2b = self._stage(
+                "reps", fp2, lambda: exact_representatives(sigs, ids, broadcast=False)
             )
             cands, fp3 = self._stage(
-                "candidates", fp2, lambda: candidate_pairs(reps, self.cfg)
+                "candidates", fp2b, lambda: candidate_pairs(reps, self.cfg)
             )
             verified, fp4 = self._stage(
                 "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
             )
-            rep_map = reps.select("content_sha", "rep_file_id")
+        rep_map = keys.select("content_sha", "rep_file_id")
         return sigs, ids, rep_map, verified, fp4
+
+    def _stage_rows(self, name: str, df: DataFrame) -> int:
+        """Row count of a just-materialized stage: from the checkpoint
+        metrics when available, else one narrow job over the stage's own
+        cached blocks (~60 B/row for the key tables) — never a corpus
+        rescan."""
+        for stage, rows, *_ in reversed(self.metrics):
+            if stage == name:
+                return rows
+        return df.count()
 
     def run(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
         """corpus(repo,path,commit,lang,content) → clusters(file_id,
@@ -213,6 +233,37 @@ class DedupPipeline:
         clusters, _ = self._stage("clusters", fp4, compute_clusters)
         self.flush_metrics()
         return clusters
+
+    def containment(
+        self, corpus: DataFrame, input_fp: str = "corpus", prefilter: bool = True
+    ) -> DataFrame:
+        """Substring-containment pairs (file_id_contained, file_id_container)
+        over the corpus — the suffix/substring dedup stage, run alongside
+        the MinHash pipeline.
+
+        Exemplar of the ``n_docs`` hint (operators/substring.py): the
+        prefilter bloom is sized from the ids stage's measured row count
+        (checkpoint ``_metrics`` or the stage's own cached blocks), so NO
+        sizing ``count()`` job over the corpus appears in the plan. The
+        signature/ids stages are shared with ``run()``/``dup_pairs()`` —
+        checkpointed or cached once, reused by every consumer.
+        """
+        sigs, fp1 = self._stage(
+            "signatures", input_fp, lambda: compute_signatures(corpus, self.cfg)
+        )
+        ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
+        docs = corpus.select(
+            F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("file_id"),
+            F.col("content"),
+        )
+        return containment_pairs(
+            docs,
+            id_col="file_id",
+            text_col="content",
+            window=self.cfg.substr_window,
+            prefilter=prefilter,
+            n_docs=self._stage_rows("ids", ids),
+        )
 
     def dup_pairs(self, corpus: DataFrame, input_fp: str = "corpus") -> DataFrame:
         """(file_id-level) exact + verified near-dup pairs — F3 schema."""

@@ -78,9 +78,13 @@ class MisraGries:
         return self.offset
 
     def frequent_items(self, threshold: int, no_false_negatives: bool = True) -> list:
-        """NoFalseNegatives: UB >= t; NoFalsePositives: LB >= t."""
+        """Threshold query, frequencies/sketch.rs:421-436: the threshold is
+        clamped to at least the current offset (maximum_error), then
+        NoFalseNegatives keeps UB > t, NoFalsePositives keeps LB > t —
+        strict inequalities, as the reference."""
+        t = max(int(threshold), self.offset)
         bound = self.counts + (self.offset if no_false_negatives else 0)
-        keep = bound >= threshold
+        keep = bound > t
         order = np.argsort(-self.counts[keep], kind="stable")
         its = self.items[keep][order]
         cts = (self.counts[keep] + self.offset)[order]  # upper-bound estimate

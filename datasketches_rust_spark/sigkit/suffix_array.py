@@ -103,16 +103,48 @@ def concat_with_sentinels(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return buf, np.asarray(offsets, dtype=np.int64)
 
 
-def shared_spans(
-    texts: list[bytes], min_len: int
-) -> np.ndarray:
+def concat_buf_with_sentinels(
+    buf: np.ndarray, offs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """``concat_with_sentinels`` for an already-flat (uint8 buffer,
+    (n+1,) offsets) batch — e.g. an Arrow string column's data buffer —
+    inserting the \\x00 + LE32 separators with vectorized scatters, no
+    per-doc Python bytes objects (round-4 VERDICT finding #2)."""
+    buf = np.asarray(buf, dtype=np.uint8)
+    offs = np.asarray(offs, dtype=np.int64)
+    n = len(offs) - 1
+    d = np.arange(n, dtype=np.int64)
+    out = np.empty(len(buf) + 5 * n, dtype=np.uint8)
+    lens = np.diff(offs)
+    # doc d's bytes shift right by the 5*d separator bytes before them
+    out[np.arange(len(buf), dtype=np.int64) + 5 * np.repeat(d, lens)] = buf
+    sent = offs[1:] + 5 * d  # separator start of doc d
+    out[sent] = 0
+    out[sent[:, None] + np.arange(1, 5, dtype=np.int64)] = (
+        d.astype("<u4").view(np.uint8).reshape(n, 4)
+    )
+    new_offs = np.zeros(n + 1, dtype=np.int64)
+    new_offs[1:] = offs[1:] + 5 * (d + 1)
+    return out, new_offs
+
+
+def shared_spans(texts: list[bytes], min_len: int) -> np.ndarray:
     """Cross-document duplicated spans of >= min_len bytes.
 
     Returns an (m, 3) int64 array of (doc_a, doc_b, span_len) for adjacent
     suffix pairs from *different* documents with LCP >= min_len (doc_a <
     doc_b; the longest span per pair, deduplicated).
     """
-    buf, offsets = concat_with_sentinels(texts)
+    return _spans_core(*concat_with_sentinels(texts), min_len)
+
+
+def shared_spans_buf(buf: np.ndarray, offs: np.ndarray, min_len: int) -> np.ndarray:
+    """``shared_spans`` over a flat (uint8 buffer, offsets) batch — the
+    zero-copy Arrow entry point used by operators.substring."""
+    return _spans_core(*concat_buf_with_sentinels(buf, offs), min_len)
+
+
+def _spans_core(buf: np.ndarray, offsets: np.ndarray, min_len: int) -> np.ndarray:
     sa, hist = suffix_array_bytes(buf)
     lcp = lcp_adjacent(sa, hist, cap=1 << 20)
     doc_of = np.searchsorted(offsets, sa, side="right") - 1

@@ -49,6 +49,13 @@ def main(corpus_path: str, cpus: int) -> None:
         },
     )
     corpus = spark.read.parquet(corpus_path)
+    # SPARK_GRAFT_BROADCAST_REP: 1 forces the broadcast rep-payload path,
+    # 0 forces the shuffle-hash fallback, unset = cfg auto mode — used for
+    # the measured fallback-path run recorded in BASELINE.md
+    cfg = PipelineConfig()
+    bc_env = os.environ.get("SPARK_GRAFT_BROADCAST_REP")
+    if bc_env is not None:
+        cfg = cfg.with_(broadcast_rep_payload=(bc_env == "1"))
     n_files = corpus.count()  # warm the input outside the timed window
     # spawn the Python worker pool before timing: a real long job amortizes
     # interpreter startup to nothing; at bench scale it would skew the ratio
@@ -73,8 +80,6 @@ def main(corpus_path: str, cpus: int) -> None:
         )
         from datasketches_rust_spark.operators.signatures import compute_signatures
         from datasketches_rust_spark.operators.verify import verify_pairs
-
-        cfg = PipelineConfig()
 
         def timed(name, df):
             t = time.monotonic()
@@ -122,7 +127,7 @@ def main(corpus_path: str, cpus: int) -> None:
         n_rows = clusters.count()
         stage_walls["cc+assign"] = round(time.monotonic() - t, 2)
     else:
-        pipe = DedupPipeline(spark, PipelineConfig())
+        pipe = DedupPipeline(spark, cfg)
         clusters = pipe.run(corpus)
         n_rows = clusters.count()
     wall = time.monotonic() - t0

@@ -60,3 +60,37 @@ def test_shared_spans_no_cross_boundary():
 def test_shared_spans_empty_and_none():
     assert shared_spans([b"abc", b"def"], min_len=2).shape == (0, 3)
     assert shared_spans([], min_len=2).shape == (0, 3)
+
+
+def test_buffer_path_matches_list_path():
+    """concat_buf_with_sentinels / shared_spans_buf (the zero-copy Arrow
+    entry) must be byte-identical to the list-of-bytes reference path."""
+    from datasketches_rust_spark.sigkit.suffix_array import (
+        concat_buf_with_sentinels,
+        concat_with_sentinels,
+        shared_spans_buf,
+    )
+
+    rng = np.random.default_rng(11)
+    span = bytes(rng.integers(97, 123, size=150, dtype=np.uint8))
+    docs = [
+        bytes(rng.integers(97, 123, size=80, dtype=np.uint8)) + span,
+        span + bytes(rng.integers(97, 123, size=60, dtype=np.uint8)),
+        b"",
+        bytes(rng.integers(97, 123, size=40, dtype=np.uint8)),
+    ]
+    flat = np.frombuffer(b"".join(docs), dtype=np.uint8)
+    offs = np.concatenate([[0], np.cumsum([len(d) for d in docs])]).astype(np.int64)
+
+    ref_buf, ref_offs = concat_with_sentinels(docs)
+    got_buf, got_offs = concat_buf_with_sentinels(flat, offs)
+    np.testing.assert_array_equal(got_buf, ref_buf)
+    np.testing.assert_array_equal(got_offs, ref_offs)
+
+    np.testing.assert_array_equal(
+        shared_spans_buf(flat, offs, min_len=100), shared_spans(docs, min_len=100)
+    )
+    # empty batch
+    assert shared_spans_buf(
+        np.empty(0, np.uint8), np.zeros(1, np.int64), min_len=10
+    ).shape == (0, 3)
