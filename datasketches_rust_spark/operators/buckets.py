@@ -34,6 +34,7 @@ def capped_bucket_pairs(
     key_cols: list[str],
     id_col: str,
     cap: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """Distinct (id_a, id_b) with id_a < id_b from bucket-membership rows.
 
@@ -46,12 +47,26 @@ def capped_bucket_pairs(
     BROADCAST back, so hot-bucket classification costs no shuffle or sort
     of the key rows. The only large exchange left is the small-bucket
     self-join on the bucket key (AQE skew-join splits residual hot keys).
+
+    ``materialize`` (default): the key rows feed SIX subplans (the
+    hot-list aggregate under three broadcast consumers, both self-join
+    sides, the star expansion), and Spark's exchange reuse does not
+    collapse them — without a lineage cut the upstream scan (in the
+    pipeline: the 2KB-row signature cache + band explode) is recomputed
+    per subplan. One eager localCheckpoint of the narrow key rows
+    (ids + 8-byte bucket key, executor-resident, spillable) plus one of
+    the tiny hot list turns that into one upstream evaluation + one
+    aggregation + cached reads. Pass False when ``keys`` is already a
+    materialized relation.
     """
+    if materialize:
+        keys = keys.localCheckpoint(eager=True)
     hot = F.broadcast(
         keys.groupBy(*key_cols)
         .agg(F.count("*").alias("__bn"), F.min(id_col).alias("__hub"))
         .where(F.col("__bn") > cap)
         .select(*key_cols, "__hub")
+        .localCheckpoint(eager=True)
     )
     keyed = keys.join(hot, key_cols, "left")
 

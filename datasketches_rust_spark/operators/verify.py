@@ -91,13 +91,22 @@ def verify_pairs(
     # Gated by the same knob as the rep-key broadcast: jobs whose
     # candidate set exceeds broadcast capacity skip it and shuffle the
     # full payload as before.
-    if getattr(cfg, "broadcast_rep_payload", True):
+    if getattr(cfg, "broadcast_rep_payload", True) is not False:
         cand_shas = (
             candidates.select(F.col("sha_a").alias("content_sha"))
             .unionByName(candidates.select(F.col("sha_b").alias("content_sha")))
             .distinct()
         )
-        sigs = sigs.join(F.broadcast(cand_shas), "content_sha", "left_semi")
+        # materialize the pruned payload ONCE: it feeds both pair joins,
+        # and without the cut the (sigs scan + semi-join) subplan runs
+        # twice. Bounded by the candidate-sha set — the same small
+        # fraction the broadcast gate already assumes — so the cached
+        # relation is executor-resident and spillable; the no-pushdown
+        # branch below deliberately stays lazy (materializing the FULL
+        # wide payload would re-create the round-3 reps exchange).
+        sigs = sigs.join(
+            F.broadcast(cand_shas), "content_sha", "left_semi"
+        ).localCheckpoint(eager=True)
     # Join 1: SHUFFLE_HASH with the BUILD side on the narrow pair relation
     # — the 2KB-wide signature rows stream through unsorted and are never
     # held in a hash map (a wide build side cannot spill and OOMs).

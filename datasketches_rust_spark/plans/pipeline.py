@@ -149,6 +149,9 @@ class DedupPipeline:
         broadcast = self.cfg.broadcast_rep_payload
         if broadcast is None:
             broadcast = self._stage_rows("rep_keys", keys) <= self.cfg.broadcast_key_limit
+        # downstream stages see the RESOLVED decision (verify's cand-sha
+        # semi-join pushdown gates on the same broadcast-capacity premise)
+        rcfg = self.cfg.with_(broadcast_rep_payload=broadcast)
         if broadcast:
             # duplicate-(sha,fid) probe: lazy so checkpoint resume skips
             # it; at most one narrow job, only when a stage computes
@@ -166,7 +169,7 @@ class DedupPipeline:
             cands, fp3 = self._stage(
                 "candidates",
                 fp2,
-                lambda: candidate_pairs(rep_payload(payload(), keys, ["bands"]), self.cfg),
+                lambda: candidate_pairs(rep_payload(payload(), keys, ["bands"]), rcfg),
             )
             verified, fp4 = self._stage(
                 "verified",
@@ -174,7 +177,7 @@ class DedupPipeline:
                 lambda: verify_pairs(
                     cands,
                     rep_payload(payload(), keys, ["n_shingles", "minhash_kmv", "theta64"]),
-                    self.cfg,
+                    rcfg,
                 ),
             )
         else:
@@ -182,10 +185,10 @@ class DedupPipeline:
                 "reps", fp2, lambda: exact_representatives(sigs, ids, broadcast=False)
             )
             cands, fp3 = self._stage(
-                "candidates", fp2b, lambda: candidate_pairs(reps, self.cfg)
+                "candidates", fp2b, lambda: candidate_pairs(reps, rcfg)
             )
             verified, fp4 = self._stage(
-                "verified", fp3, lambda: verify_pairs(cands, reps, self.cfg)
+                "verified", fp3, lambda: verify_pairs(cands, reps, rcfg)
             )
         rep_map = keys.select("content_sha", "rep_file_id")
         return sigs, ids, rep_map, verified, fp4
