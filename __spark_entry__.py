@@ -300,6 +300,23 @@ def _q_countmin(spark, sf):
     return countmin_estimate(sketch, items, "event_type")
 
 
+def _q_countmin_reflayout(spark, sf):
+    """Count-Min with the REFERENCE's exact cell layout: murmur128-h1
+    buckets under per-row seeds derived as countmin/sketch.rs:513-523
+    (vectorized sigkit.murmur3 kernel, pinned by the reference's own test
+    vectors). Exact mode (width >> distinct event types), so estimates
+    equal true counts and the oracle is exact."""
+    from datasketches_rust_spark.functions.sketches import (
+        countmin_build_reflayout,
+        countmin_estimate_reflayout,
+    )
+
+    ev = _t(spark, sf, "events")
+    sketch = countmin_build_reflayout(ev, "event_type", num_hashes=3, width=2048)
+    items = ev.select("event_type").distinct()
+    return countmin_estimate_reflayout(sketch, items, "event_type")
+
+
 def _q_tdigest_quantiles(spark, sf):
     od = _t(spark, sf, "orders")
     qs = od.groupBy("o_orderstatus").agg(
@@ -460,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_jaccard_users": _q_theta_jaccard_users,
         "frequent_events": _q_frequent_events,
         "countmin_event_counts": _q_countmin,
+        "countmin_reflayout_counts": _q_countmin_reflayout,
         "tdigest_quantiles": _q_tdigest_quantiles,
         "bloom_semijoin": _q_bloom_semijoin,
         "ann_topk": _q_ann_topk,
@@ -644,6 +662,9 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
 FROM events, t GROUP BY event_type, thr HAVING count(*) >= thr
 """,
         "countmin_event_counts": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS est_count FROM events GROUP BY 1
+""",
+        "countmin_reflayout_counts": """
 SELECT event_type, CAST(count(*) AS BIGINT) AS est_count FROM events GROUP BY 1
 """,
         "tdigest_quantiles": """

@@ -156,6 +156,126 @@ def countmin_merge(*sketches: DataFrame | CountMinDF) -> DataFrame | CountMinDF:
     return merged.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+def countmin_halve(sketch: CountMinDF) -> CountMinDF:
+    """Divide every counter by two, truncating — the exponential-decay
+    primitive (countmin/sketch.rs:446-451, unsigned counters). Cells
+    halved to zero are dropped: an absent (row, bucket) IS a zero counter
+    in the sparse table encoding, so estimates are identical (floor
+    commutes with the row-wise min). Stateless batch form of the
+    reference's in-place mutation."""
+    t = (
+        sketch.table.select(
+            "row", "bucket", F.floor(F.col("cnt") / 2).cast("long").alias("cnt")
+        ).where(F.col("cnt") > 0)
+    )
+    return sketch._replace(table=t)
+
+
+def countmin_decay(sketch: CountMinDF, decay: float) -> CountMinDF:
+    """Multiply every counter by ``decay`` in (0, 1], truncating
+    (countmin/sketch.rs:453-476). ``decay=0.5`` == ``countmin_halve``."""
+    if not (0.0 < decay <= 1.0):
+        raise ValueError("decay must be within (0, 1]")
+    t = (
+        sketch.table.select(
+            "row",
+            "bucket",
+            F.floor(F.col("cnt") * F.lit(float(decay))).cast("long").alias("cnt"),
+        ).where(F.col("cnt") > 0)
+    )
+    return sketch._replace(table=t)
+
+
+def _reflayout_triples(item_col: str, row_seeds, width: int):
+    """Arrow kernel: (item, row, bucket, weight) rows under the reference's
+    murmur bucket layout — one vectorized murmur pass per batch."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.signatures import _arrow_string_to_buf
+    from ..sigkit.murmur3 import murmur3_bucket_indexes
+
+    def run(batches):
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            items = rb.column(rb.schema.get_field_index(item_col))
+            buf, offs = _arrow_string_to_buf(items)
+            idx = murmur3_bucket_indexes(buf, offs, row_seeds, width)  # (n, d)
+            n, d = idx.shape
+            w = rb.column(rb.schema.get_field_index("__w")).to_numpy(
+                zero_copy_only=False
+            )
+            rep = np.repeat(np.arange(n, dtype=np.int64), d)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    items.take(pa.array(rep)),
+                    pa.array(np.tile(np.arange(d, dtype=np.int32), n)),
+                    pa.array(idx.reshape(-1).astype(np.int32)),
+                    pa.array(np.repeat(w, d).astype(np.int64)),
+                ],
+                ["item", "row", "bucket", "__w"],
+            )
+
+    return run
+
+
+def countmin_build_reflayout(
+    df: DataFrame,
+    item_col: str,
+    weight_col: str | None = None,
+    num_hashes: int = 3,
+    width: int = 2048,
+    seed: int = 9001,
+) -> CountMinDF:
+    """Counter table with the REFERENCE's exact cell layout: bucket =
+    h1(murmur128(item_bytes, row_seed)) % width, row seeds derived as
+    countmin/sketch.rs:513-523 — so a table built here is cell-compatible
+    with counters imported from a reference sketch (merge = grouped sum
+    over the same (row, bucket) keys). Items hash as their UTF-8 bytes
+    verbatim (framing note in sigkit.murmur3). The murmur kernel is a
+    vectorized Arrow pass (Python path): prefer the JVM ``countmin_build``
+    (xxhash64 buckets) when reference cell-parity isn't needed."""
+    from ..sigkit.murmur3 import murmur3_row_seeds
+
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    base = df.select(F.col(item_col).cast("string").alias("__it"), w.alias("__w"))
+    seeds = murmur3_row_seeds(seed, num_hashes)
+    triples = base.mapInArrow(
+        _reflayout_triples("__it", seeds, width),
+        "item string, row int, bucket int, __w long",
+    )
+    table = triples.groupBy("row", "bucket").agg(F.sum("__w").alias("cnt"))
+    return CountMinDF(table, num_hashes, width)
+
+
+def countmin_estimate_reflayout(
+    sketch: CountMinDF,
+    items: DataFrame,
+    item_col: str,
+    seed: int = 9001,
+) -> DataFrame:
+    """Point queries against a reference-layout table: min over rows of
+    the murmur-bucket counters (the probe uses the same kernel as the
+    build, so bucket indexing can never diverge)."""
+    from ..sigkit.murmur3 import murmur3_row_seeds
+
+    base = items.select(F.col(item_col).cast("string").alias("__it")).withColumn(
+        "__w", F.lit(1).cast("long")
+    )
+    seeds = murmur3_row_seeds(seed, sketch.num_hashes)
+    probes = base.mapInArrow(
+        _reflayout_triples("__it", seeds, sketch.width),
+        "item string, row int, bucket int, __w long",
+    ).drop("__w")
+    return (
+        probes.join(F.broadcast(sketch.table), ["row", "bucket"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(F.col("item").alias(item_col))
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
 def countmin_estimate(
     sketch: "DataFrame | CountMinDF",
     items: DataFrame,

@@ -1426,6 +1426,80 @@ def test_bloom_might_contain_broadcast_cutoff(spark):
     assert all(m for v, m in rs if int(v[1:]) < 200)
 
 
+def test_countmin_reflayout_build_estimate_merge(spark):
+    """Reference-cell-layout Count-Min (murmur buckets + derived row
+    seeds, countmin/sketch.rs:423-428, :513-523): exact estimates when
+    width >> distinct items, and two reflayout sketches merge to the
+    build-on-concat table through the config-guarded countmin_merge."""
+    from datasketches_rust_spark.functions.sketches import (
+        countmin_build_reflayout,
+        countmin_estimate_reflayout,
+        countmin_merge,
+    )
+    from datasketches_rust_spark.sigkit.murmur3 import (
+        murmur3_bucket_indexes,
+        murmur3_row_seeds,
+    )
+
+    d1 = spark.createDataFrame([(f"k{i % 5}",) for i in range(500)], "k string")
+    d2 = spark.createDataFrame([(f"k{i % 9}",) for i in range(900)], "k string")
+    sk = countmin_build_reflayout(d1, "k", num_hashes=3, width=512)
+    items = d1.unionByName(d2).select("k").distinct()
+    est = {r["k"]: r["est_count"] for r in countmin_estimate_reflayout(sk, items, "k").collect()}
+    assert all(est[f"k{i}"] == 100 for i in range(5))
+
+    # the table's cells sit exactly where the reference's algorithm puts them
+    seeds = murmur3_row_seeds(9001, 3)
+    flat = np.frombuffer(b"k0", dtype=np.uint8)
+    offs = np.array([0, 2], dtype=np.int64)
+    want = set(zip(range(3), murmur3_bucket_indexes(flat, offs, seeds, 512)[0].tolist()))
+    got = {
+        (r["row"], r["bucket"])
+        for r in sk.table.where(F.col("cnt") >= 100).collect()
+    }
+    assert want <= got
+
+    merged = countmin_merge(sk, countmin_build_reflayout(d2, "k", num_hashes=3, width=512))
+    both = countmin_build_reflayout(d1.unionByName(d2), "k", num_hashes=3, width=512)
+    em = {r["k"]: r["est_count"] for r in countmin_estimate_reflayout(merged, items, "k").collect()}
+    eb = {r["k"]: r["est_count"] for r in countmin_estimate_reflayout(both, items, "k").collect()}
+    assert em == eb
+
+
+def test_countmin_halve_and_decay(spark):
+    """countmin/sketch.rs:446-476: halve truncates every counter by two
+    (estimates follow, since floor commutes with the row-min), decay
+    scales by a factor in (0, 1], and decay(0.5) == halve."""
+    import pytest as _pytest
+
+    from datasketches_rust_spark.functions.sketches import (
+        countmin_decay,
+        countmin_halve,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 101 + [("b",)] * 40 + [("c",)] * 7, "k string"
+    )
+    sk = countmin_sketch(df, "k", num_hashes=3, width=1024)
+    items = df.select("k").distinct()
+
+    def est(s):
+        return {r["k"]: r["est_count"] for r in countmin_estimate(s, items, "k").collect()}
+
+    assert est(sk) == {"a": 101, "b": 40, "c": 7}
+    h1 = countmin_halve(sk)
+    assert est(h1) == {"a": 50, "b": 20, "c": 3}
+    assert est(countmin_halve(h1)) == {"a": 25, "b": 10, "c": 1}
+    d = countmin_decay(sk, 0.5)
+    assert est(d) == est(h1)
+    assert (h1.num_hashes, h1.width) == (3, 1024)
+    with _pytest.raises(ValueError, match="decay"):
+        countmin_decay(sk, 0.0)
+    with _pytest.raises(ValueError, match="decay"):
+        countmin_decay(sk, 1.5)
+
+
 def test_countmin_df_merge_guard(spark):
     """CountMinDF carries (num_hashes, width); merge enforces the
     reference's dimension-compatibility check (countmin/sketch.rs:254-267
