@@ -1426,6 +1426,27 @@ def test_bloom_might_contain_broadcast_cutoff(spark):
     assert all(m for v, m in rs if int(v[1:]) < 200)
 
 
+def test_capped_bucket_pairs_materialize_off_identical(spark):
+    """materialize=False (for callers whose keys relation is already
+    materialized) must produce the identical pair set."""
+    from datasketches_rust_spark.operators.buckets import capped_bucket_pairs
+
+    keys = spark.range(5000).select(
+        (F.col("id") % 200).alias("bkey"), F.col("id").alias("sha")
+    )
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in capped_bucket_pairs(keys, ["bkey"], "sha", 30).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in capped_bucket_pairs(
+            keys.localCheckpoint(eager=True), ["bkey"], "sha", 30, materialize=False
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_countmin_reflayout_build_estimate_merge(spark):
     """Reference-cell-layout Count-Min (murmur buckets + derived row
     seeds, countmin/sketch.rs:423-428, :513-523): exact estimates when
