@@ -30,6 +30,14 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 _CM_MAX_HASHES = 127
 
+# capacity gate for broadcasting a counter table into a probe join: cells
+# are (row int, bucket int, cnt long) rows, so 2^25 cells ≈ 0.5-1 GB built —
+# the same driver-capacity reasoning as _BLOOM_MAX_BROADCAST_BITS below.
+# The reference allows width up to 2^30 (countmin/sketch.rs:135), where an
+# unconditional broadcast would OOM the driver; past the gate the probe
+# joins by shuffle on (row, bucket) instead.
+_CM_MAX_BROADCAST_CELLS = 1 << 25
+
 
 _CM_MAX_BUCKETS = (1 << 32) - 1  # u32::MAX — the reference's saturating cast
 
@@ -254,10 +262,18 @@ def countmin_estimate_reflayout(
     items: DataFrame,
     item_col: str,
     seed: int = 9001,
+    max_broadcast_cells: int = _CM_MAX_BROADCAST_CELLS,
 ) -> DataFrame:
     """Point queries against a reference-layout table: min over rows of
     the murmur-bucket counters (the probe uses the same kernel as the
-    build, so bucket indexing can never diverge)."""
+    build, so bucket indexing can never diverge).
+
+    The counter table broadcasts only while its worst-case cardinality
+    (``num_hashes * width`` cells — the reference allows width up to 2^30,
+    countmin/sketch.rs:135) stays under ``max_broadcast_cells``; a wider
+    user config falls back to a shuffle join on (row, bucket) instead of
+    forcing a multi-GB broadcast onto the driver (the same capacity gate
+    as ``bloom_might_contain``)."""
     from ..sigkit.murmur3 import murmur3_row_seeds
 
     base = items.select(F.col(item_col).cast("string").alias("__it")).withColumn(
@@ -268,8 +284,13 @@ def countmin_estimate_reflayout(
         _reflayout_triples("__it", seeds, sketch.width),
         "item string, row int, bucket int, __w long",
     ).drop("__w")
+    table = (
+        F.broadcast(sketch.table)
+        if sketch.num_hashes * sketch.width <= max_broadcast_cells
+        else sketch.table
+    )
     return (
-        probes.join(F.broadcast(sketch.table), ["row", "bucket"], "left")
+        probes.join(table, ["row", "bucket"], "left")
         .fillna({"cnt": 0})
         .groupBy(F.col("item").alias(item_col))
         .agg(F.min("cnt").alias("est_count"))
@@ -286,14 +307,21 @@ def countmin_estimate(
     """Point queries: est = min over rows of the bucket counters.
     A ``CountMinDF`` input supplies its own (num_hashes, width) — the
     explicit parameters are ignored, so probe and build can never use
-    different bucket indexing."""
+    different bucket indexing. The counter table broadcasts only under
+    the ``_CM_MAX_BROADCAST_CELLS`` capacity gate (see the reflayout
+    variant's docstring); wider configs shuffle-join instead."""
     if isinstance(sketch, CountMinDF):
         sketch, num_hashes, width = sketch.table, sketch.num_hashes, sketch.width
     item = F.col(item_col)
     idx = F.array([_cm_bucket(item, r, width) for r in range(num_hashes)])
     ex = items.select(item, F.posexplode(idx).alias("row", "bucket"))
+    table = (
+        F.broadcast(sketch)
+        if num_hashes * width <= _CM_MAX_BROADCAST_CELLS
+        else sketch
+    )
     return (
-        ex.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        ex.join(table, ["row", "bucket"], "left")
         .fillna({"cnt": 0})
         .groupBy(item_col)
         .agg(F.min("cnt").alias("est_count"))
@@ -434,15 +462,33 @@ def bloom_might_contain(
 ) -> DataFrame:
     """probe + boolean ``might_contain``: all k positions set.
 
-    The set-bit relation broadcasts only while its worst-case cardinality
-    (``num_bits`` — set bits can never exceed the universe) stays under
-    ``max_broadcast_bits``; beyond that the probe joins by shuffle on
-    ``bit`` instead of forcing an over-capacity broadcast onto the driver
-    (an unconditional broadcast is exactly the static-knob OOM the
-    rep-payload path removed — round-4 VERDICT ask #6). AQE may still
-    re-plan the shuffle to a runtime broadcast when the *actual* bit set
-    turns out tiny — that's the right dynamic decision, made on the real
-    size instead of the capacity bound."""
+    Long probe keys under the broadcast gate take the PACKED path: the
+    set-bit relation is OR-reduced into one dense ``num_bits/8``-byte
+    bitmap (per-partition partial bitmaps, driver OR — the same shape as
+    the substring prefilter), broadcast once, and every probe batch is
+    checked vectorized in a single ``mapInArrow`` kernel. That replaces
+    the old probe plan — broadcast a hash relation of up to ``num_bits``
+    set-bit rows, k-way ``posexplode`` of every probe row, join, and a
+    grouped count over k·n_probe rows — with a 512 KB broadcast (at the
+    2^22 default) and zero join. Bit positions come from the same
+    Kirsch-Mitzenmacher arithmetic as ``_bloom_positions`` (parity pinned
+    by pytest), so flags are identical.
+
+    Other key types, and filters past ``max_broadcast_bits`` (worst-case
+    set-bit cardinality == the universe), keep the join path: the bit
+    relation broadcasts under the gate and shuffles beyond it instead of
+    forcing an over-capacity broadcast onto the driver (round-4 VERDICT
+    ask #6). AQE may still re-plan the over-cap shuffle to a runtime
+    broadcast when the *actual* bit set turns out tiny — the right
+    dynamic decision, made on the real size instead of the capacity
+    bound."""
+    from pyspark.sql.types import LongType
+
+    if (
+        isinstance(probe.schema[col].dataType, LongType)
+        and num_bits <= max_broadcast_bits
+    ):
+        return _bloom_might_contain_packed(probe, col, bits, num_bits, num_hashes)
     pos = _bloom_positions(F.col(col), num_bits, num_hashes)
     ex = probe.select("*", F.posexplode(pos).alias("__i", "bit"))
     b = bits.withColumn("__hit", F.lit(1))
@@ -456,6 +502,76 @@ def bloom_might_contain(
         marked.groupBy(*probe.columns)
         .agg((F.count("__hit") == F.count("*")).alias("might_contain"))
     )
+
+
+def _bloom_might_contain_packed(
+    probe: DataFrame, col: str, bits: DataFrame, num_bits: int, num_hashes: int
+) -> DataFrame:
+    """Dense-bitmap probe path (long keys): one broadcast, no join.
+
+    Position arithmetic mirrors ``_bloom_positions`` exactly — Spark's
+    ``xxhash64`` seed-42 over the long's 8 LE bytes (``sigkit.xxhash``
+    parity is pinned against Spark itself), signed ``pmod`` by the
+    universe, h0 + i·h1 double hashing — so the flags are bit-identical
+    to the join path. Output keeps the join path's contract: distinct
+    probe rows + flag (the grouped count collapsed duplicates)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sigkit.xxhash import xxh64_u64
+
+    nbytes = (num_bits + 7) // 8
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for rb in batches:
+            seen = True
+            if rb.num_rows:
+                b = np.asarray(rb.column(0)).astype(np.int64)
+                # scatter target is the (cache-resident) packed bitmap
+                np.bitwise_or.at(
+                    bm, b >> 3, np.left_shift(1, (b & 7)).astype(np.uint8)
+                )
+        if seen:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bm.tobytes()], type=pa.binary())], ["bm"]
+            )
+
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for row in bits.select(F.col("bit").cast("long")).mapInArrow(
+        partials, "bm binary"
+    ).collect():
+        out |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bmb = probe.sparkSession.sparkContext.broadcast(out.tobytes())
+
+    deduped = probe.dropDuplicates()
+    out_schema = deduped.withColumn("might_contain", F.lit(True)).schema
+    cols = list(deduped.columns)
+    ci = cols.index(col)
+    m = num_bits
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        bm = np.frombuffer(bmb.value, dtype=np.uint8)
+        for rb in batches:
+            if not rb.num_rows:
+                continue
+            v = np.asarray(rb.column(ci)).astype(np.int64).view(np.uint64)
+            raw = xxh64_u64(v, 42)  # Spark's xxhash64 seed
+            h0 = np.mod(raw.view(np.int64), m)
+            h1 = np.mod(xxh64_u64(raw, 42).view(np.int64), m)
+            hit = np.ones(len(v), dtype=bool)
+            for i in range(num_hashes):
+                p = (h0 + i * h1) % m
+                hit &= (bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1 > 0
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(j) for j in range(rb.num_columns)] + [pa.array(hit)],
+                names=cols + ["might_contain"],
+            )
+
+    return deduped.mapInArrow(run, out_schema)
 
 
 # ----------------------------------------------------------------- frequent

@@ -174,9 +174,14 @@ def candidate_pairs(reps: DataFrame, cfg) -> DataFrame:
     ``xxhash64(band, bhash)`` column before the shuffle, cutting the
     exchanged key bytes and making every bucket comparison a single long
     equality (round-4 VERDICT ask #5). A 64-bit pack collision can only
-    MERGE two buckets — adding candidate pairs the Jaccard verify then
-    rejects — never split one, so recall is unaffected (same safe-only
-    direction as ``has_duplicate_id_rows``'s probe key). No distinct
+    MERGE two buckets — never split one — so the usual effect is extra
+    candidate pairs the Jaccard verify then rejects (the same safe-only
+    direction as ``has_duplicate_id_rows``'s probe key). One caveat: if a
+    merge pushes the combined bucket over ``max_bucket_size``, it flips
+    from all-pairs to star expansion and can DROP within-bucket pairs the
+    separate buckets would have emitted; at ~B buckets the chance of any
+    collision is ~B²/2^65, which is immaterial at engine scale but keeps
+    this a probabilistic, not absolute, recall statement. No distinct
     pre-aggregation is needed on the key rows: posexplode emits exactly
     one row per (content_sha, band), so (bkey, content_sha) rows are
     already distinct by construction and a dedup shuffle would be pure

@@ -90,8 +90,17 @@ def verify_pairs(
     # small corpus fraction by construction: they passed LSH banding).
     # Gated by the same knob as the rep-key broadcast: jobs whose
     # candidate set exceeds broadcast capacity skip it and shuffle the
-    # full payload as before.
-    if getattr(cfg, "broadcast_rep_payload", True) is not False:
+    # full payload as before. The tri-state config is RESOLVED here, not
+    # re-tested raw: the pipeline passes a bool (rcfg); a direct caller
+    # leaving the auto default (None) pays one narrow count over the
+    # candidate relation so the broadcast decision reflects the actual
+    # cardinality instead of silently inheriting the broadcast path.
+    broadcast = getattr(cfg, "broadcast_rep_payload", True)
+    if broadcast is None:
+        limit = getattr(cfg, "broadcast_key_limit", 15_000_000)
+        # each candidate pair contributes <= 2 shas to the broadcast set
+        broadcast = candidates.count() * 2 <= limit
+    if broadcast:
         cand_shas = (
             candidates.select(F.col("sha_a").alias("content_sha"))
             .unionByName(candidates.select(F.col("sha_b").alias("content_sha")))

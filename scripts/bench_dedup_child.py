@@ -46,6 +46,21 @@ def main(corpus_path: str, cpus: int) -> None:
             # signature kernel's arrays L2/L3-resident — 2x faster single
             # core and it stops saturating DRAM bandwidth across workers
             "spark.sql.execution.arrow.maxRecordsPerBatch": "384",
+            # the round-5 bench tail once logged "ERROR DAGScheduler:
+            # Failed to update accumulator ... non-existent accumulator" —
+            # the benign race where the ContextCleaner GCs a finished
+            # stage's accumulator registrations (the eager localCheckpoint
+            # lineage cuts drop the old RDD references as soon as each
+            # stage materializes) while a straggler task's final update is
+            # still in flight. Results are unaffected (clusters
+            # byte-identical across every run), but an ERROR line in the
+            # official bench output is not acceptable: this child lives
+            # for one bounded pipeline run, so the cleaner buys nothing —
+            # disable reference tracking and the race class is gone.
+            # (NOT set in plans/session.py: a long-running production
+            # session needs the cleaner to reclaim shuffle/broadcast
+            # metadata.)
+            "spark.cleaner.referenceTracking": "false",
         },
     )
     corpus = spark.read.parquet(corpus_path)

@@ -1560,3 +1560,106 @@ def test_countmin_df_merge_guard(spark):
         countmin_merge(a, wrong_d)
     with _pytest.raises(TypeError, match="mix"):
         countmin_merge(a, b.table)
+
+
+def test_verify_pairs_auto_resolution(spark):
+    """verify_pairs must RESOLVE the tri-state broadcast_rep_payload
+    itself when a direct caller leaves the auto default (None): the
+    decision comes from the measured candidate count, so a candidate set
+    past broadcast capacity cannot silently inherit the broadcast
+    pushdown (the CLAUDE.md resolved-decision rule). All three paths
+    (auto-under-limit, auto-over-limit, explicit bool) must return
+    identical rows."""
+    import numpy as np
+
+    from datasketches_rust_spark.config import PipelineConfig
+    from datasketches_rust_spark.operators.verify import verify_pairs
+
+    max_theta = (1 << 63) - 1
+    rng = np.random.RandomState(7)
+    sig_rows = []
+    shas = [bytes([i] * 32) for i in range(8)]
+    def draw(n):
+        vals = np.unique(rng.randint(1, 1 << 40, size=2 * n).astype(np.uint64))
+        return vals[:n]
+
+    base_set = np.sort(draw(64))
+    for i, sha in enumerate(shas):
+        # consecutive shas share most hashes -> high-J accepted pairs
+        vals = base_set.copy()
+        vals[: 4 * i] = draw(4 * i)
+        sig_rows.append((sha, bytes(np.sort(vals).astype("<u8").tobytes()), max_theta, 64))
+    reps = spark.createDataFrame(
+        sig_rows, "content_sha binary, minhash_kmv binary, theta64 long, n_shingles long"
+    )
+    cands = spark.createDataFrame(
+        [(shas[i], shas[i + 1]) for i in range(7)], "sha_a binary, sha_b binary"
+    )
+
+    def rows(cfg):
+        return {
+            (bytes(r["sha_a"]), bytes(r["sha_b"]), round(r["jaccard_est"], 9), r["accepted"])
+            for r in verify_pairs(cands, reps, cfg).collect()
+        }
+
+    auto = rows(PipelineConfig())  # None -> resolved from candidate count
+    over = rows(PipelineConfig().with_(broadcast_key_limit=1))  # None -> shuffle path
+    bcast = rows(PipelineConfig().with_(broadcast_rep_payload=True))
+    shuf = rows(PipelineConfig().with_(broadcast_rep_payload=False))
+    assert auto == bcast == over == shuf
+    assert len(auto) == 7
+
+
+def test_countmin_reflayout_broadcast_gate(spark):
+    """countmin_estimate_reflayout broadcasts the counter table only
+    while num_hashes*width stays under the capacity gate; past it the
+    probe joins without a pinned broadcast — identical estimates."""
+    from datasketches_rust_spark.functions.sketches import (
+        countmin_build_reflayout,
+        countmin_estimate_reflayout,
+    )
+
+    df = spark.createDataFrame([(f"k{i % 7}",) for i in range(700)], "k string")
+    sk = countmin_build_reflayout(df, "k", num_hashes=3, width=256)
+    items = df.select("k").distinct()
+
+    small = countmin_estimate_reflayout(sk, items, "k")
+    assert "BroadcastHashJoin" in small._jdf.queryExecution().executedPlan().toString()
+    big = countmin_estimate_reflayout(sk, items, "k", max_broadcast_cells=3 * 256 - 1)
+    assert (
+        "BroadcastHashJoin"
+        not in big._jdf.queryExecution().executedPlan().toString()
+    )
+    rs = {(r["k"], r["est_count"]) for r in small.collect()}
+    rb = {(r["k"], r["est_count"]) for r in big.collect()}
+    assert rs == rb and len(rs) == 7
+
+
+def test_bloom_packed_probe_parity(spark):
+    """Long probe keys take the packed-bitmap path (no join in the probe
+    plan); flags must be bit-identical to the classic join path, and
+    duplicate probe rows must still collapse (the grouped-count
+    contract)."""
+    from datasketches_rust_spark.functions.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    nb, k = 1 << 14, 4
+    member = spark.createDataFrame([(i * 3,) for i in range(300)], "v long")
+    bits = bloom_build(member, "v", num_bits=nb, num_hashes=k)
+    probe = spark.createDataFrame(
+        [(i,) for i in range(0, 600, 2)] * 2, "v long"  # duplicated rows
+    )
+
+    packed = bloom_might_contain(probe, "v", bits, nb, k)
+    assert "MapInArrow" in packed._jdf.queryExecution().executedPlan().toString()
+    join = bloom_might_contain(probe, "v", bits, nb, k, max_broadcast_bits=0)
+
+    rp = sorted((r["v"], r["might_contain"]) for r in packed.collect())
+    rj = sorted((r["v"], r["might_contain"]) for r in join.collect())
+    assert rp == rj
+    assert len(rp) == 300  # duplicates collapsed
+    # no false negatives: every true member whose key was probed is flagged
+    members = {i * 3 for i in range(300)}
+    assert all(m for v, m in rp if v in members)
