@@ -145,6 +145,19 @@ class DedupPipeline:
         # all narrow consumers, and a row-cached wide table gives them no
         # column pruning — this 60B/row table does
         ids, _ = self._stage("ids", fp1, lambda: sigs.select("file_id", "content_sha"))
+        # the duplicate-(sha,fid) probe and the rep-keys agg both read only
+        # the materialized ids blocks and are independent — overlap them
+        # (guide §2.6: actions are only sequential because the driver calls
+        # them sequentially; the probe's tasks back-fill cores the keys
+        # agg's tail leaves idle). Only in the no-checkpoint path: with a
+        # checkpoint dir the probe stays LAZY so a resumed run skips it.
+        probe_fut = None
+        if self.dir is None and self.cfg.broadcast_rep_payload is not False:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=1)
+            probe_fut = pool.submit(has_duplicate_id_rows, ids)
+            pool.shutdown(wait=False)
         keys, fp2 = self._stage("rep_keys", fp1, lambda: exact_rep_keys(ids))
         broadcast = self.cfg.broadcast_rep_payload
         if broadcast is None:
@@ -153,15 +166,20 @@ class DedupPipeline:
         # semi-join pushdown gates on the same broadcast-capacity premise)
         rcfg = self.cfg.with_(broadcast_rep_payload=broadcast)
         if broadcast:
-            # duplicate-(sha,fid) probe: lazy so checkpoint resume skips
-            # it; at most one narrow job, only when a stage computes
+            # duplicate-(sha,fid) probe: lazy (or prefetched above) so
+            # checkpoint resume skips it; at most one narrow job
             memo: dict = {}
 
             def payload() -> DataFrame:
                 if "p" not in memo:
+                    has_dups = (
+                        probe_fut.result()
+                        if probe_fut is not None
+                        else has_duplicate_id_rows(ids)
+                    )
                     memo["p"] = (
                         sigs.dropDuplicates(["content_sha", "file_id"])
-                        if has_duplicate_id_rows(ids)
+                        if has_dups
                         else sigs
                     )
                 return memo["p"]

