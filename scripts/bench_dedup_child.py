@@ -39,8 +39,16 @@ def main(corpus_path: str, cpus: int) -> None:
             "spark.local.dir": f"/dev/shm/spark-bench-{cpus}",
             # size input splits so the scan parallelizes across all cores
             # even for a bench-sized corpus (on a 100TB table the defaults
-            # already yield thousands of splits)
-            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            # already yield thousands of splits). 32 MB, not the round-3
+            # 4 MB: every scan task pays a fixed Python-worker/Arrow
+            # stream setup on top of scheduling, and a round-6 sweep of
+            # the signatures stage read (4c best-of-2 noop) 90-96 s at
+            # 4 MB, 72-73 s at 16 MB, 66.5 s at 32 MB, 65.1 s at 64 MB —
+            # i.e. ~2000 tasks of overhead was a quarter of the stage.
+            # 32 MB still plans ~260 splits for the 8.3 GB bench corpus
+            # (≥ 8× the widest level's cores) and moves TOWARD the 128 MB
+            # production default rather than away from it.
+            "spark.sql.files.maxPartitionBytes": str(32 * 1024 * 1024),
             "spark.sql.files.openCostInBytes": str(256 * 1024),
             # cache blocking: ~2-4MB of text per Arrow batch keeps the
             # signature kernel's arrays L2/L3-resident — 2x faster single
